@@ -1,0 +1,207 @@
+"""End-to-end engine parity vs the closed-form numpy oracle.
+
+Ports the semantic content of the reference's central correctness
+matrix (tests/test_core.py:89-212, tests/test_points.py) to the
+synthetic fixture catalog: per-region golden z values for multiple
+output datums, inverse transform, multi-region overlap disambiguation,
+uncertainty combination, NaN passthrough, sign flip, out-of-coverage
+handling, and the sampled-grid mode."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from vyperdatum_spark.datums import catalog
+from vyperdatum_spark.engine import transform as tx
+from vyperdatum_spark.spatial import cells, pip
+
+
+def numpy_oracle(xs, ys, zs, from_datum, to_datum):
+    """Expected (region_id, z_out, unc) per point under W1 precedence."""
+    n = len(xs)
+    region = np.full(n, None, dtype=object)
+    for r in catalog.REGIONS:  # ascending ord: later write wins
+        m = pip.contains(list(r.polygon), xs, ys)
+        region[m] = r.region_id
+    z_out = np.full(n, np.nan)
+    unc = np.full(n, np.nan)
+    for i, rid in enumerate(region):
+        if rid is None:
+            continue
+        z_out[i] = round(
+            catalog.transform_closed_form(rid, from_datum, to_datum, xs[i], ys[i], zs[i]), 3
+        )
+        unc[i] = catalog.combined_sigma(rid, to_datum)
+    return region, z_out, unc
+
+
+def run_engine(spark, pdf, from_datum, to_datum, **kw):
+    pts = spark.createDataFrame(pdf)
+    out = tx.transform_points(spark, pts, from_datum, to_datum, **kw)
+    return out.toPandas().set_index("pid").sort_index()
+
+
+@pytest.mark.parametrize("to_datum", ["mllw", "mhw", "navd88", "tss"])
+def test_transform_matrix_exact(spark, fixture_points, to_datum):
+    pdf = fixture_points
+    out = run_engine(spark, pdf, "ellipse", to_datum, n_salt=4)
+    region, z_exp, unc_exp = numpy_oracle(
+        pdf.x.values, pdf.y.values, pdf.z.values, "ellipse", to_datum
+    )
+    assert (out["region_id"].fillna("∅").to_numpy()
+            == pd.Series(region).fillna("∅").to_numpy()).all()
+    got_z = out["z_out"].to_numpy(dtype=float)
+    assert np.array_equal(np.nan_to_num(got_z, nan=-9e9),
+                          np.nan_to_num(z_exp, nan=-9e9))
+    got_u = out["unc"].to_numpy(dtype=float)
+    assert np.allclose(np.nan_to_num(got_u, nan=-1),
+                       np.nan_to_num(unc_exp, nan=-1), atol=1e-12)
+
+
+def test_inverse_round_trip(spark, fixture_points):
+    """mllw→ellipse after ellipse→mllw returns the input z (±0.002,
+    reference tolerance: two round(3) steps)."""
+    pdf = fixture_points
+    fwd = run_engine(spark, pdf, "ellipse", "mllw")
+    covered = fwd[fwd.covered]
+    back_in = covered.reset_index()[["pid", "x", "y", "z_out"]].rename(
+        columns={"z_out": "z"}
+    )
+    inv = run_engine(spark, back_in, "mllw", "ellipse")
+    orig = pdf.set_index("pid").loc[inv.index, "z"]
+    assert np.allclose(inv["z_out"].to_numpy(), orig.to_numpy(), atol=0.002)
+
+
+def test_multi_region_overlap_disambiguation(spark):
+    """Reference tests/test_core.py:295-310 analog: points in the
+    3-region overlap all resolve to region C (highest catalog ord),
+    A-only points to A, B-only points to B."""
+    pdf = pd.DataFrame(
+        {
+            "pid": np.arange(4, dtype=np.int64),
+            "x": [-76.75, -77.8, -75.2, -76.75],  # ABC, A-only, B-only, ABC
+            "y": [34.75, 33.5, 35.8, 34.71],
+            "z": [10.5, 11.0, 11.5, 10.0],
+        }
+    )
+    out = run_engine(spark, pdf, "ellipse", "mllw")
+    assert list(out["region_id"]) == [
+        "RGNCbay01_8301", "RGNAcoast01_8301", "RGNBinner01_8301", "RGNCbay01_8301",
+    ]
+    assert out["region_ord"].nunique() == 3
+
+
+def test_count_precedence_mode(spark):
+    """W2 raster precedence: the region with the most valid points
+    wins everywhere it has data (raster.py:226-233 analog)."""
+    # many points in A-only, few in the A∩B∩C overlap
+    n_a, n_o = 50, 3
+    xs = np.concatenate([np.full(n_a, -77.9), np.full(n_o, -76.75)])
+    ys = np.concatenate([np.linspace(33.1, 34.9, n_a), np.full(n_o, 34.75)])
+    pdf = pd.DataFrame(
+        {"pid": np.arange(n_a + n_o, dtype=np.int64), "x": xs, "y": ys,
+         "z": np.full(n_a + n_o, 10.0)}
+    )
+    out = run_engine(spark, pdf, "ellipse", "mllw", precedence="count")
+    # overlap points: A has n_a + n_o valid, B/C only n_o → A wins
+    assert set(out.iloc[n_a:]["region_id"]) == {"RGNAcoast01_8301"}
+    # list mode would have chosen C
+    out_list = run_engine(spark, pdf, "ellipse", "mllw", precedence="list")
+    assert set(out_list.iloc[n_a:]["region_id"]) == {"RGNCbay01_8301"}
+
+
+def test_nan_coordinates_pass_through(spark):
+    """Reference tests/test_points.py:47-61: NaN coords yield NaN z
+    without breaking the batch."""
+    pdf = pd.DataFrame(
+        {
+            "pid": np.arange(3, dtype=np.int64),
+            "x": [np.nan, -76.75, -77.5],
+            "y": [34.0, np.nan, 34.0],
+            "z": [10.0, 10.0, 10.0],
+        }
+    )
+    out = run_engine(spark, pdf, "ellipse", "mllw")
+    assert out.loc[0, "region_id"] is None and np.isnan(out.loc[0, "z_out"])
+    assert out.loc[1, "region_id"] is None and np.isnan(out.loc[1, "z_out"])
+    assert out.loc[2, "covered"] and not np.isnan(out.loc[2, "z_out"])
+
+
+def test_depth_output_sign_flip(spark):
+    """Reference tests/test_points.py:112-125 analog: a positive-down
+    output datum negates z."""
+    pdf = pd.DataFrame(
+        {"pid": np.array([0], dtype=np.int64), "x": [-77.5], "y": [34.0], "z": [10.5]}
+    )
+    up = run_engine(spark, pdf, "ellipse", "mllw")
+    down = run_engine(spark, pdf, "ellipse", "noaa chart datum")
+    assert np.isclose(down.loc[0, "z_out"], -up.loc[0, "z_out"], atol=1e-9)
+
+
+def test_out_of_coverage_passthrough_and_catzoc(spark):
+    """F6 semantics (raster.py:380-396): allowed points keep flip·z and
+    get CATZOC-D uncertainty (3.0 for z>0)."""
+    pdf = pd.DataFrame(
+        {
+            "pid": np.arange(2, dtype=np.int64),
+            "x": [-74.2, -74.2],  # outside all regions
+            "y": [34.0, 34.0],
+            "z": [10.5, -5.0],
+        }
+    )
+    out = run_engine(spark, pdf, "ellipse", "mllw",
+                     allow_points_outside_coverage=True)
+    assert not out["covered"].any()
+    assert out.loc[0, "z_out"] == 10.5 and out.loc[0, "unc"] == 3.0
+    assert out.loc[1, "z_out"] == -5.0 and out.loc[1, "unc"] == 3.0 - 0.06 * (-5.0)
+
+
+def test_null_transform_identity(spark, fixture_points):
+    out = run_engine(spark, fixture_points, "mllw", "mllw")
+    assert np.array_equal(out["z_out"].to_numpy(),
+                          np.round(fixture_points.set_index("pid")["z"].to_numpy(), 3))
+
+
+def test_sampled_mode_close_to_exact(spark, fixture_points):
+    """Reference tests/test_points.py:34-44: sampled-grid mode agrees
+    with the exact path within the sampling tolerance."""
+    pdf = fixture_points
+    pts = spark.createDataFrame(pdf)
+    exact = tx.transform_points(spark, pts, "ellipse", "mllw").toPandas().set_index("pid")
+    sampled = tx.transform_points_sampled(
+        spark, pts, "ellipse", "mllw", res=cells.FINE_RES
+    ).toPandas().set_index("pid")
+    both = exact.join(sampled, rsuffix="_s")[
+        ["z_out", "z_out_s", "covered", "covered_s", "region_id", "region_id_s"]
+    ]
+    core = both[both.covered & both.covered_s]
+    assert len(core) > 0
+    # near region boundaries the cell CENTER may fall in a different
+    # region than the point (same artifact as the reference's
+    # np.digitize binning) — tight tolerance applies where the region
+    # agrees; those must be the vast majority
+    same = core[core.region_id == core.region_id_s]
+    assert len(same) / len(core) > 0.9
+    # plane slopes sum to ~0.044/deg; fine-cell half-diagonal ~0.125°
+    assert np.allclose(same.z_out, same.z_out_s, atol=0.02)
+
+
+def test_tile_assignment_matches_oracle(spark, fixture_points):
+    """'identical tile assignments' check: engine cell5 equals the
+    numpy encoder's cell for every point."""
+    pdf = fixture_points
+    out = run_engine(spark, pdf, "ellipse", "mllw")
+    exp = cells.encode_np(pdf.x.values, pdf.y.values, cells.COARSE_RES)
+    assert np.array_equal(out["cell5"].to_numpy(), exp)
+
+
+def test_skew_salting_preserves_results(spark, fixture_points):
+    """Salted and unsalted plans must be result-identical."""
+    pdf = fixture_points
+    a = run_engine(spark, pdf, "ellipse", "mllw", n_salt=0)
+    b = run_engine(spark, pdf, "ellipse", "mllw", n_salt=8)
+    assert np.array_equal(
+        np.nan_to_num(a["z_out"].to_numpy(dtype=float), nan=-9e9),
+        np.nan_to_num(b["z_out"].to_numpy(dtype=float), nan=-9e9),
+    )
