@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)     -> flagship query (ellipse→MLLW transform) at sf0.001
+queries()        -> every implemented operator (SURVEY.md §2)
+oracle_sql()     -> matching DuckDB SQL per query
+
+The geospatial queries run the full engine (PIP join + cogrouped tile
+bilinear) over points derived deterministically from the events
+table; oracles are closed-form (analytic-plane grids). Webtext
+queries cover dedup/similarity/text-analysis over documents and
+embeddings.
 """
 
 from __future__ import annotations
@@ -13,26 +17,45 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from vyperdatum_spark.queries import geo
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full ellipse→MLLW transform at sf0.001."""
+    return geo.queries()["geo_transform_mllw"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    out: dict[str, Callable] = {}
+    out.update(geo.queries())
+    try:
+        from vyperdatum_spark.queries import webtext
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        out.update(webtext.queries())
+    except ImportError:
+        pass
+    try:
+        from vyperdatum_spark.queries import relational
+
+        out.update(relational.queries())
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    out.update(geo.oracle_sql())
+    try:
+        from vyperdatum_spark.queries import webtext
+
+        out.update(webtext.oracle_sql())
+    except ImportError:
+        pass
+    try:
+        from vyperdatum_spark.queries import relational
+
+        out.update(relational.oracle_sql())
+    except ImportError:
+        pass
+    return out

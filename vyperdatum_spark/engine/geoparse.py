@@ -1,0 +1,44 @@
+"""Geoparsing: extract (lon, lat, z) from web-page text.
+
+The graft's driving table is Common-Crawl-shaped pages
+(url, warc_ts, html, text, lang — BASELINE.json input_hint); points
+are parsed from coordinate mentions in ``text``. Extraction is pure
+JVM-side ``regexp_extract`` column math (whole-stage codegen; no
+Python in this hot path), and the ``text`` column is never rewritten —
+the byte-identical-text-per-url invariant is a projection guarantee.
+
+Recognized pattern (the fixture generator's template):
+    "... located at 34.75123N, 76.75123W, elevation 10.50 m ..."
+Degrees with hemisphere letters; S/W negate. Rows without a
+coordinate mention parse to null x/y (geoparse miss).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+COORD_RE = r"(\d+\.\d+)\s*([NS]),?\s+(\d+\.\d+)\s*([WE])"
+ELEV_RE = r"elevation (-?\d+\.\d+) m"
+
+
+def _signed(value: Column, hemi: Column, neg: str) -> Column:
+    v = value.cast("double")
+    return F.when(hemi == neg, -v).otherwise(v)
+
+
+def geoparse(pages: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add x (lon), y (lat), z columns parsed from ``text_col``.
+
+    All other columns pass through untouched. Misses yield nulls.
+    """
+    t = F.col(text_col)
+    lat = _signed(F.regexp_extract(t, COORD_RE, 1), F.regexp_extract(t, COORD_RE, 2), "S")
+    lon = _signed(F.regexp_extract(t, COORD_RE, 3), F.regexp_extract(t, COORD_RE, 4), "W")
+    z = F.regexp_extract(t, ELEV_RE, 1).cast("double")
+    # regexp_extract returns '' on miss; '' casts to null double
+    return (
+        pages.withColumn("x", lon)
+        .withColumn("y", lat)
+        .withColumn("z", z)
+    )

@@ -1,0 +1,335 @@
+"""Geospatial queries for the driver's correctness gate.
+
+Each query runs the REAL engine (region PIP join + cogrouped tile
+bilinear) over points derived deterministically from the driver's
+``events`` table; the paired oracle is closed-form ANSI SQL generated
+from the same catalog (analytic-plane grids ⇒ bilinear is exact, so
+the oracle can evaluate the plane directly).
+
+The derivation arithmetic is written identically on both sides
+(same operation order ⇒ bit-identical doubles), so row counts,
+region/tile assignments, and rounded z/unc values match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..datums import catalog, pipeline as pl
+from ..engine import transform as tx
+from ..spatial import cells
+
+FAMOUS_X = -76.7512345
+FAMOUS_Y = 34.7512345
+
+
+# --------------------------------------------------------------------
+# derived point source (events → pid, x, y, z) — both dialects
+# --------------------------------------------------------------------
+
+def derived_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.col("event_id")
+    # prime multipliers spread points over the whole region layout at
+    # any scale factor (plain event_id // 400 collapses y at small sf)
+    x_base = F.lit(-78.0) + ((k * 131) % 400).cast("double") * F.lit(0.01) + F.lit(0.0037)
+    y_base = (
+        F.lit(33.0)
+        + ((k * 7919) % 300).cast("double") * F.lit(0.01)
+        + F.lit(0.0021)
+    )
+    famous = (k % 10) == 0
+    return ev.select(
+        k.alias("pid"),
+        F.when(famous, F.lit(FAMOUS_X)).otherwise(x_base).alias("x"),
+        F.when(famous, F.lit(FAMOUS_Y)).otherwise(y_base).alias("y"),
+        F.col("value").alias("z"),
+    )
+
+
+def derived_points_sql() -> str:
+    return (
+        "SELECT event_id AS pid, "
+        f"CASE WHEN event_id % 10 = 0 THEN {FAMOUS_X!r} "
+        "ELSE -78.0 + CAST((event_id * 131) % 400 AS DOUBLE) * 0.01 + 0.0037 END AS x, "
+        f"CASE WHEN event_id % 10 = 0 THEN {FAMOUS_Y!r} "
+        "ELSE 33.0 + CAST((event_id * 7919) % 300 AS DOUBLE) * 0.01 + 0.0021 END AS y, "
+        "value AS z FROM events"
+    )
+
+
+# --------------------------------------------------------------------
+# oracle SQL fragments generated from the catalog
+# --------------------------------------------------------------------
+
+def region_case_sql(x: str = "x", y: str = "y") -> str:
+    """Winning region under W1 precedence: regions tested in
+    DESCENDING catalog order (last-write-wins ⇒ highest ord wins).
+    Rectangle containment with ray-cast-equivalent half-open bounds."""
+    whens = []
+    for r in sorted(catalog.REGIONS, key=lambda r: -r.region_ord):
+        x0, y0, x1, y1 = r.bbox
+        whens.append(
+            f"WHEN {x} >= {x0!r} AND {x} < {x1!r} "
+            f"AND {y} >= {y0!r} AND {y} < {y1!r} THEN '{r.region_id}'"
+        )
+    return "CASE " + " ".join(whens) + " ELSE NULL END"
+
+
+def sep_sql_for_region(region_id: str, from_datum: str, to_datum: str,
+                       x: str = "x", y: str = "y") -> str:
+    """Σ sign·(a·x + b·y + c) in step order, parenthesized to match
+    the engine's left-to-right accumulation."""
+    r = catalog.REGION_BY_ID[region_id]
+    steps = pl.compile_steps(from_datum, to_datum, r.region_id, r.geoid)
+    expr = "0.0"
+    for grid_id, sign in steps:
+        a, b, c = catalog.GRID_PLANES[grid_id]
+        expr = (
+            f"({expr} + {sign!r} * (({a!r}) * {x} + ({b!r}) * {y} + ({c!r})))"
+        )
+    return expr
+
+
+def z_out_case_sql(from_datum: str, to_datum: str,
+                   x: str = "x", y: str = "y", z: str = "z") -> str:
+    flip = pl.output_flip(to_datum)
+    whens = []
+    for r in catalog.REGIONS:
+        sep = sep_sql_for_region(r.region_id, from_datum, to_datum, x, y)
+        whens.append(
+            f"WHEN region_id = '{r.region_id}' "
+            f"THEN ROUND({flip!r} * ({z} + {sep}), 3)"
+        )
+    return "CASE " + " ".join(whens) + " ELSE NULL END"
+
+
+def unc_case_sql(to_datum: str) -> str:
+    whens = []
+    for r in catalog.REGIONS:
+        u = catalog.combined_sigma(r.region_id, to_datum)
+        whens.append(f"WHEN region_id = '{r.region_id}' THEN {u!r}")
+    return "CASE " + " ".join(whens) + " ELSE CAST(NULL AS DOUBLE) END"
+
+
+def _pts_cte() -> str:
+    return f"WITH pts AS ({derived_points_sql()})"
+
+
+def transform_oracle_sql(from_datum: str, to_datum: str) -> str:
+    return (
+        f"{_pts_cte()}, assigned AS ("
+        f"  SELECT pid, x, y, z, {region_case_sql()} AS region_id FROM pts) "
+        f"SELECT pid, region_id, "
+        f"{z_out_case_sql(from_datum, to_datum)} AS z_out, "
+        f"{unc_case_sql(to_datum)} AS unc "
+        f"FROM assigned"
+    )
+
+
+# --------------------------------------------------------------------
+# queries (spark, sf_dir) -> DataFrame + their oracle strings
+# --------------------------------------------------------------------
+
+def _transform_query(to_datum: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        pts = derived_points(spark, sf_dir)
+        out = tx.transform_points(
+            spark, pts, "ellipse", to_datum, key_col="pid", n_salt=8
+        )
+        return out.select("pid", "region_id", "z_out", "unc")
+
+    return q
+
+
+def q_geo_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A1: extent aggregation before region search (core.py:386-388)
+    pts = derived_points(spark, sf_dir)
+    return pts.agg(
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_geo_region_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J1+J2+W1 region assignment, A2 per-region counts
+    pts = derived_points(spark, sf_dir)
+    out = tx.transform_points(spark, pts, "ellipse", "mllw", key_col="pid",
+                              include_uncertainty=False, n_salt=8)
+    return (
+        out.groupBy("region_id")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.min("z_out").alias("min_z"),
+            F.max("z_out").alias("max_z"),
+        )
+        .orderBy("region_id")
+    )
+
+
+def q_geo_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the "identical tile assignments" contract: coarse + fine cells
+    pts = derived_points(spark, sf_dir)
+    return pts.select(
+        "pid",
+        cells.encode_col(F.col("x"), F.col("y"), cells.COARSE_RES).alias("cell5"),
+        cells.encode_col(F.col("x"), F.col("y"), cells.FINE_RES).alias("cell9"),
+    )
+
+
+def q_geo_coverage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F1/A3: covered vs outside-coverage accounting
+    pts = derived_points(spark, sf_dir)
+    out = tx.transform_points(spark, pts, "ellipse", "mllw", key_col="pid",
+                              include_uncertainty=False, n_salt=8)
+    return out.agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.col("covered").cast("long")).alias("n_covered"),
+        F.sum((~F.col("covered")).cast("long")).alias("n_outside"),
+    )
+
+
+def q_geo_sampled_mllw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J5 sampled mode: transform distinct fine-cell centers, join back
+    pts = derived_points(spark, sf_dir)
+    out = tx.transform_points_sampled(
+        spark, pts, "ellipse", "mllw", key_col="pid", res=cells.FINE_RES,
+        include_uncertainty=False,
+    )
+    return out.select("pid", "region_id", "z_out")
+
+
+def q_geo_outside_catzoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F6: out-of-coverage passthrough + CATZOC-D uncertainty
+    pts = derived_points(spark, sf_dir)
+    out = tx.transform_points(
+        spark, pts, "ellipse", "mllw", key_col="pid",
+        allow_points_outside_coverage=True, n_salt=8,
+    )
+    return out.select("pid", "region_id", "z_out", "unc")
+
+
+def q_geo_pipeline_plans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the compiler's lineage strings as data (REMARK contract)
+    rows = [
+        (r.region_id,
+         pl.compile_pipeline_string("ellipse", "mllw", r.region_id, r.geoid))
+        for r in catalog.REGIONS
+    ]
+    return spark.createDataFrame(rows, "region_id string, pipeline_str string")
+
+
+def q_geo_chart_datum_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F4 sign flip: 'noaa chart datum' is positive-down (depth axis)
+    pts = derived_points(spark, sf_dir)
+    out = tx.transform_points(
+        spark, pts, "ellipse", "noaa chart datum", key_col="pid",
+        include_uncertainty=False, n_salt=8,
+    )
+    return out.select("pid", "region_id", "z_out")
+
+
+def sampled_oracle_sql() -> str:
+    """Closed form for the sampled path: fine-cell center coords from
+    the same floor arithmetic, region/plane evaluated at the center."""
+    res = cells.FINE_RES
+    sz = repr(cells.cell_size_deg(res))
+    cx = f"(-180.0 + (FLOOR((x + 180.0) / {sz}) + 0.5) * {sz})"
+    cy = f"(-90.0 + (FLOOR((y + 90.0) / {sz}) + 0.5) * {sz})"
+    return (
+        f"{_pts_cte()}, cpts AS ("
+        f"  SELECT pid, {cx} AS cx, {cy} AS cy, z FROM pts), "
+        f"assigned AS ("
+        f"  SELECT pid, cx AS x, cy AS y, z, {region_case_sql('cx', 'cy')} AS region_id"
+        f"  FROM cpts) "
+        f"SELECT pid, region_id, {z_out_case_sql('ellipse', 'mllw')} AS z_out "
+        f"FROM assigned"
+    )
+
+
+def catzoc_oracle_sql() -> str:
+    zc = z_out_case_sql("ellipse", "mllw")
+    uc = unc_case_sql("mllw")
+    return (
+        f"{_pts_cte()}, assigned AS ("
+        f"  SELECT pid, x, y, z, {region_case_sql()} AS region_id FROM pts) "
+        f"SELECT pid, region_id, "
+        f"CASE WHEN region_id IS NOT NULL THEN {zc} ELSE ROUND(1.0 * z, 3) END AS z_out, "
+        f"CASE WHEN region_id IS NOT NULL THEN {uc} "
+        f"     WHEN z > 0 THEN 3.0 ELSE 3.0 - 0.06 * z END AS unc "
+        f"FROM assigned"
+    )
+
+
+def queries() -> dict:
+    return {
+        "geo_extent": q_geo_extent,
+        "geo_tile_assign": q_geo_tile_assign,
+        "geo_transform_mllw": _transform_query("mllw"),
+        "geo_transform_mhw": _transform_query("mhw"),
+        "geo_transform_navd88": _transform_query("navd88"),
+        "geo_transform_tss": _transform_query("tss"),
+        "geo_region_counts": q_geo_region_counts,
+        "geo_coverage_stats": q_geo_coverage_stats,
+        "geo_sampled_mllw": q_geo_sampled_mllw,
+        "geo_outside_catzoc": q_geo_outside_catzoc,
+        "geo_chart_datum_flip": q_geo_chart_datum_flip,
+        "geo_pipeline_plans": q_geo_pipeline_plans,
+    }
+
+
+def oracle_sql() -> dict:
+    cell5 = cells.encode_sql("x", "y", cells.COARSE_RES)
+    cell9 = cells.encode_sql("x", "y", cells.FINE_RES)
+    plans_values = ", ".join(
+        "('{}', '{}')".format(
+            r.region_id,
+            pl.compile_pipeline_string("ellipse", "mllw", r.region_id, r.geoid),
+        )
+        for r in catalog.REGIONS
+    )
+    return {
+        "geo_extent": (
+            f"{_pts_cte()} SELECT MIN(x) AS min_x, MAX(x) AS max_x, "
+            "MIN(y) AS min_y, MAX(y) AS max_y, COUNT(*) AS n FROM pts"
+        ),
+        "geo_tile_assign": (
+            f"{_pts_cte()} SELECT pid, {cell5} AS cell5, {cell9} AS cell9 FROM pts"
+        ),
+        "geo_transform_mllw": transform_oracle_sql("ellipse", "mllw"),
+        "geo_transform_mhw": transform_oracle_sql("ellipse", "mhw"),
+        "geo_transform_navd88": transform_oracle_sql("ellipse", "navd88"),
+        "geo_transform_tss": transform_oracle_sql("ellipse", "tss"),
+        "geo_region_counts": (
+            f"{_pts_cte()}, assigned AS ("
+            f"  SELECT pid, x, y, z, {region_case_sql()} AS region_id FROM pts), "
+            f"outz AS (SELECT pid, region_id, "
+            f"{z_out_case_sql('ellipse', 'mllw')} AS z_out FROM assigned) "
+            "SELECT region_id, COUNT(*) AS n_points, "
+            "MIN(z_out) AS min_z, MAX(z_out) AS max_z "
+            "FROM outz GROUP BY region_id ORDER BY region_id"
+        ),
+        "geo_coverage_stats": (
+            f"{_pts_cte()}, assigned AS ("
+            f"  SELECT {region_case_sql()} AS region_id FROM pts) "
+            "SELECT COUNT(*) AS n_total, "
+            "COUNT(region_id) AS n_covered, "
+            "COUNT(*) - COUNT(region_id) AS n_outside FROM assigned"
+        ),
+        "geo_sampled_mllw": sampled_oracle_sql(),
+        "geo_outside_catzoc": catzoc_oracle_sql(),
+        "geo_chart_datum_flip": (
+            f"{_pts_cte()}, assigned AS ("
+            f"  SELECT pid, x, y, z, {region_case_sql()} AS region_id FROM pts) "
+            f"SELECT pid, region_id, "
+            f"{z_out_case_sql('ellipse', 'noaa chart datum')} AS z_out "
+            f"FROM assigned"
+        ),
+        "geo_pipeline_plans": (
+            f"SELECT * FROM (VALUES {plans_values}) AS t(region_id, pipeline_str)"
+        ),
+    }
