@@ -1,0 +1,66 @@
+"""Checkpoint/resume idempotence (FIXTURES.md §6, north_rule)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from vyperdatum_spark.engine import checkpoint as ck, transform as tx
+
+
+def _points(spark, n=400):
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame(
+        {
+            "pid": np.arange(n, dtype=np.int64),
+            "x": rng.uniform(-78.0, -74.0, n),
+            "y": rng.uniform(33.0, 36.0, n),
+            "z": np.round(rng.uniform(5, 15, n), 2),
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def _tf(spark, df):
+    return tx.transform_points(spark, df, "ellipse", "mllw", key_col="pid")
+
+
+def test_resume_after_simulated_crash(spark, tmp_path):
+    out_dir = str(tmp_path / "run1")
+    pts = _points(spark)
+
+    # crash after 2 of 4 buckets
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        ck.run_with_checkpoint(
+            spark, pts, _tf, out_dir, "runA", n_buckets=4, fail_after=2
+        )
+    assert len(ck.completed_buckets(spark, out_dir, "runA")) == 2
+
+    # resume: only the remaining 2 buckets run
+    n2 = ck.run_with_checkpoint(spark, pts, _tf, out_dir, "runA", n_buckets=4)
+    assert n2 == 2
+
+    # third invocation is a no-op (idempotent)
+    n3 = ck.run_with_checkpoint(spark, pts, _tf, out_dir, "runA", n_buckets=4)
+    assert n3 == 0
+
+    # resumed output identical to an uninterrupted run
+    ref_dir = str(tmp_path / "ref")
+    ck.run_with_checkpoint(spark, pts, _tf, ref_dir, "runB", n_buckets=4)
+    got = ck.read_output(spark, out_dir).toPandas().sort_values("pid").reset_index(drop=True)
+    ref = ck.read_output(spark, ref_dir).toPandas().sort_values("pid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[sorted(got.columns)], ref[sorted(ref.columns)])
+
+
+def test_metrics_account_for_every_row(spark, tmp_path):
+    out_dir = str(tmp_path / "m")
+    pts = _points(spark, 300)
+    ck.run_with_checkpoint(spark, pts, _tf, out_dir, "runM", n_buckets=3)
+    m = spark.read.parquet(f"{out_dir}/metrics").toPandas()
+    assert m.rows_in.sum() == 300
+    out = ck.read_output(spark, out_dir).toPandas()
+    assert m.rows_out.sum() == out.z_out.notna().sum()
+    assert m.rows_nocoverage.sum() == (~out.covered).sum()
+    # per-partition granularity present
+    assert set(m.columns) >= {"run_id", "bucket", "partition_id", "rows_in",
+                              "rows_out", "rows_error", "rows_nocoverage"}

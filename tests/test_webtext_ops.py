@@ -1,0 +1,168 @@
+"""Unit tests for dedup/similarity/textstats kernels against
+independent Python reimplementations (hashlib/numpy oracles)."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from vyperdatum_spark.ops import dedup, multimodal, similarity, textstats
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog", "en"),
+    (1, "the quick brown fox jumps over the lazy cat", "en"),
+    (2, "completely different words appear here now folks", "en"),
+    (3, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 0
+    (4, "short doc", "en"),
+    (5, "ab", "en"),  # fewer tokens than the shingle width
+]
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, lang string")
+
+
+def test_minhash_matches_python(spark):
+    got = (
+        _docs_df(spark)
+        .select("doc_id", dedup.minhash_col(F.col("text")).alias("sig"))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    for doc_id, text, _ in DOCS:
+        toks = text.split(" ")
+        shingles = [
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        ] if len(toks) >= 3 else []
+        hs = [_h60(s) % dedup.MERSENNE_P for s in shingles]
+        exp = [
+            min(((a * h + b) % dedup.MERSENNE_P for h in hs), default=dedup.MERSENNE_P)
+            for a, b in dedup.PERMS
+        ]
+        assert list(got.loc[doc_id, "sig"]) == exp
+
+
+def test_exact_dup_and_lsh_find_the_duplicate_pair(spark):
+    df = _docs_df(spark)
+    exact = dedup.exact_duplicates(df).toPandas()
+    assert len(exact) == 1 and exact.iloc[0].n_dups == 2
+    pairs = dedup.minhash_lsh_pairs(df).toPandas()
+    assert (0, 3) in set(zip(pairs.doc_a, pairs.doc_b))
+    # near-dup 0/1 should share at least one band too (1 word differs)
+    assert (0, 1) in set(zip(pairs.doc_a, pairs.doc_b))
+    # unrelated doc 2 pairs with nothing
+    assert not ((pairs.doc_a == 2) | (pairs.doc_b == 2)).any()
+
+
+def test_jaccard_pairs_values(spark):
+    out = dedup.jaccard_pairs(_docs_df(spark), threshold=0.0).toPandas()
+    j = out.set_index(["doc_a", "doc_b"]).jaccard
+    # docs 0/3 identical → jaccard 1.0
+    assert j.loc[(0, 3)] == 1.0
+    # docs 0/1: 7 shingles each, 6 shared → 6/8
+    assert np.isclose(j.loc[(0, 1)], 6 / 8)
+
+
+def test_simhash_matches_python(spark):
+    got = (
+        _docs_df(spark)
+        .select("doc_id", dedup.simhash_col(F.col("text")).alias("sh"))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    for doc_id, text, _ in DOCS:
+        toks = text.split(" ")
+        hs = [_h60(t) for t in toks]
+        v = 0
+        for i in range(dedup.N_SIMHASH_BITS):
+            cnt = sum((h >> i) & 1 for h in hs)
+            if 2 * cnt > len(hs):
+                v |= 1 << i
+        assert int(got.loc[doc_id, "sh"]) == v
+
+
+def test_cosine_matches_numpy(spark):
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal(64).astype(np.float32)
+    b = rng.standard_normal(64).astype(np.float32)
+    df = spark.createDataFrame(
+        [(a.tolist(), b.tolist())], "ea array<float>, eb array<float>"
+    )
+    got = df.select(
+        similarity.cosine_col(F.col("ea"), F.col("eb")).alias("cos")
+    ).collect()[0]["cos"]
+    ad, bd = a.astype(np.float64), b.astype(np.float64)
+    exp = float(ad @ bd / (np.sqrt(ad @ ad) * np.sqrt(bd @ bd)))
+    assert np.isclose(got, exp, atol=1e-12)
+
+
+def test_ann_bruteforce_topk_is_exact(spark):
+    rng = np.random.default_rng(9)
+    vecs = rng.standard_normal((30, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(int(i), v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = similarity.ann_bruteforce_topk(df, n_queries=3, k=4).toPandas()
+    vd = vecs.astype(np.float64)
+    norms = np.linalg.norm(vd, axis=1)
+    for q in range(3):
+        cos = vd @ vd[q] / (norms * norms[q])
+        cos[q] = -np.inf
+        exp = np.argsort(-cos, kind="stable")[:4]
+        got_q = got[got.query_id == q].sort_values("rank").neighbor_id.to_numpy()
+        assert list(got_q) == list(exp)
+
+
+def test_langid_and_quality(spark):
+    df = spark.createDataFrame(
+        [(0, "the value and the table of the data"),
+         (1, "el valor la tabla los datos el la")],
+        "doc_id long, text string",
+    )
+    lid = textstats.langid_df(df).toPandas().set_index("doc_id")
+    assert lid.loc[0, "pred_lang"] == "en"
+    assert lid.loc[1, "pred_lang"] == "es"
+    q = textstats.quality_df(df).toPandas().set_index("doc_id")
+    assert q.loc[0, "n_words"] == 8
+    # stopword hits: the×3, and, of → 5 of 8
+    assert np.isclose(q.loc[0, "stop_ratio"], 5 / 8)
+
+
+def test_multimodal_decode_plumbing(spark):
+    pages = spark.createDataFrame(
+        [(1, b"\x89PNG....payload"), (2, b"<html><body>x</body></html>"),
+         (3, b"\xff\xd8\xff\xe0jpegdata")],
+        "id long, payload binary",
+    )
+    meta = multimodal.media_meta(pages, "id", "payload").toPandas().set_index("id")
+    assert meta.loc[1, "media_kind"] == "png"
+    assert meta.loc[2, "media_kind"] == "html"
+    assert meta.loc[3, "media_kind"] == "jpeg"
+    assert meta.loc[2, "byte_len"] == len(b"<html><body>x</body></html>")
+    dec = multimodal.decode_media(pages, "id", "payload").toPandas().set_index("id")
+    assert set(dec.columns) == {"width", "height", "n_frames", "mean_lum", "feat"}
+    assert (dec.width.between(16, 79)).all()
+    assert all(len(f) == 8 for f in dec.feat)
+    # deterministic: same content → same fake decode
+    dec2 = multimodal.decode_media(pages, "id", "payload").toPandas().set_index("id")
+    pd.testing.assert_frame_equal(dec, dec2)
+    # frame sampling explodes n_frames and keeps every 2nd
+    fs = multimodal.frame_sample(pages, "id", "payload").toPandas()
+    assert (fs.frame_idx % 2 == 0).all()
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    pages = spark.createDataFrame([(1, b"xx")], "id long, payload binary")
+    import pytest
+
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        multimodal.decode_media(
+            pages, "id", "payload", deterministic_fake=False
+        ).collect()

@@ -1,0 +1,125 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata; decode / feature-extract / resize / frame-sample run as
+Arrow-batched pandas functions over ``mapInPandas``. The container
+has no image/audio libraries, so the actual codec step is STUBBED:
+``decode_image`` raises NotImplementedError unless
+``deterministic_fake=True``, in which case a seeded, content-addressed
+fake decode (md5-derived pixel stats) exercises the real Spark-side
+plumbing — schema, batch iteration, partition sizing — which is what
+matters at 100 TB.
+
+Metadata extraction (byte length, content hash, magic-prefix sniff)
+is pure column math and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAGIC = {
+    b"\x89PNG": "png",
+    b"\xff\xd8\xff": "jpeg",
+    b"GIF8": "gif",
+    b"<htm": "html",
+    b"<!DO": "html",
+}
+
+
+def media_meta(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """Typed metadata over an opaque binary column (no decode)."""
+    b = F.col(bin_col)
+    sniff = F.lit("bin")
+    for magic, kind in MAGIC.items():
+        hexpref = magic.hex()
+        sniff = F.when(
+            F.startswith(F.hex(b), F.lit(hexpref.upper())), F.lit(kind)
+        ).otherwise(sniff)
+    return df.select(
+        F.col(id_col),
+        F.octet_length(b).cast("long").alias("byte_len"),
+        F.md5(b).alias("content_md5"),
+        sniff.alias("media_kind"),
+    )
+
+
+DECODE_SCHEMA = (
+    "id long, width int, height int, n_frames int, mean_lum double, feat array<float>"
+)
+
+
+def decode_image_batches(
+    it: Iterator[pd.DataFrame],
+    id_col: str,
+    bin_col: str,
+    deterministic_fake: bool = True,
+    feat_dim: int = 8,
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: binary → (dims, frame count, luminance,
+    feature vector). Real decoding is stubbed (no codec libs in this
+    container); the fake path is content-addressed and deterministic
+    so tests exercise the true batch shape and schema."""
+    for pdf in it:
+        if not deterministic_fake:
+            raise NotImplementedError(
+                "real image/audio decode requires codec libraries not "
+                "present in this container; use deterministic_fake=True"
+            )
+        n = len(pdf)
+        width = np.empty(n, dtype=np.int32)
+        height = np.empty(n, dtype=np.int32)
+        frames = np.empty(n, dtype=np.int32)
+        lum = np.empty(n, dtype=np.float64)
+        feats = []
+        for i, payload in enumerate(pdf[bin_col]):
+            digest = hashlib.md5(bytes(payload)).digest()
+            width[i] = 16 + digest[0] % 64
+            height[i] = 16 + digest[1] % 64
+            frames[i] = 1 + digest[2] % 4
+            lum[i] = round(digest[3] / 255.0, 6)
+            feats.append(
+                np.frombuffer(digest[4 : 4 + feat_dim], dtype=np.uint8).astype(
+                    np.float32
+                )
+                / 255.0
+            )
+        yield pd.DataFrame(
+            {
+                "id": pdf[id_col].to_numpy(),
+                "width": width,
+                "height": height,
+                "n_frames": frames,
+                "mean_lum": lum,
+                "feat": feats,
+            }
+        )
+
+
+def decode_media(df: DataFrame, id_col: str, bin_col: str,
+                 deterministic_fake: bool = True) -> DataFrame:
+    def fn(it):
+        return decode_image_batches(it, id_col, bin_col, deterministic_fake)
+
+    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(fn, DECODE_SCHEMA)
+
+
+def frame_sample(df: DataFrame, id_col: str, bin_col: str,
+                 every_n: int = 2) -> DataFrame:
+    """Frame-sampling plumbing: decode (fake) then explode frame
+    indices 0..n_frames-1 keeping every ``every_n``-th — the schema
+    and explode mechanics a video pipeline needs."""
+    dec = decode_media(df, id_col, bin_col)
+    frames = dec.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_idx"),
+        "width",
+        "height",
+    )
+    return frames.filter(F.col("frame_idx") % every_n == 0)

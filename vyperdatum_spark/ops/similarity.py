@@ -1,0 +1,198 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k (the exactness baseline): cross join
+  pruned by a label/bucket key, dot products as built-in
+  ``zip_with``/``aggregate`` column math (JVM-side), window top-k.
+- random-hyperplane LSH (the scale path): 8 seeded hyperplanes →
+  sign-bit bucket (pure column math), equi-join on bucket, top-k
+  within bucket. At 10^12 rows the bucket join replaces the O(n²)
+  cross join; multiple hash tables would raise recall (single table
+  here keeps the oracle exact).
+
+Float discipline: embeddings are float32 on disk; every product is
+computed after an explicit cast to double, and accumulation is
+left-to-right (F.aggregate from 0.0 ≡ SQL list_reduce from x1), so
+Spark and DuckDB produce bit-identical cosines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+N_PLANES = 8
+EMB_DIM = 64
+
+
+def _hyperplanes(dim: int = EMB_DIM, n: int = N_PLANES, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n, dim)).round(6)  # short literals, exact doubles
+
+
+PLANES = _hyperplanes()
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def dot_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
+    terms = f"list_transform(generate_series(1, {dim}), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))"
+    return f"(0.0 + list_reduce({terms}, (x, y) -> x + y))"
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(dot_col(a, a))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return (
+        f"({dot_sql(a, b)} / (sqrt({dot_sql(a, a)}) * sqrt({dot_sql(b, b)})))"
+    )
+
+
+# ---------------------------------------------------------- brute force
+def ann_bruteforce_topk(df: DataFrame, id_col: str = "vec_id",
+                        emb_col: str = "embedding",
+                        n_queries: int = 10, k: int = 5) -> DataFrame:
+    """Exact top-k cosine neighbors for the first ``n_queries`` ids."""
+    q = df.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb")
+    )
+    c = df.select(F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("c_emb"))
+    joined = q.crossJoin(c).filter(F.col("neighbor_id") != F.col("query_id"))
+    cos = cosine_col(F.col("q_emb"), F.col("c_emb"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        joined.select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos_r"))
+    )
+
+
+def ann_bruteforce_topk_sql(table: str = "embeddings", id_col: str = "vec_id",
+                            emb_col: str = "embedding",
+                            n_queries: int = 10, k: int = 5) -> str:
+    cos = cosine_sql("q.q_emb", "c.c_emb")
+    return (
+        f"WITH q AS (SELECT {id_col} AS query_id, {emb_col} AS q_emb FROM {table} "
+        f"WHERE {id_col} < {n_queries}), "
+        f"c AS (SELECT {id_col} AS neighbor_id, {emb_col} AS c_emb FROM {table}), "
+        f"scored AS (SELECT query_id, neighbor_id, {cos} AS cos, "
+        f"ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY {cos} DESC, neighbor_id) AS rank "
+        f"FROM q CROSS JOIN c WHERE neighbor_id <> query_id) "
+        f"SELECT query_id, neighbor_id, rank, ROUND(cos, 6) AS cos_r "
+        f"FROM scored WHERE rank <= {k}"
+    )
+
+
+# ------------------------------------------------------------------ lsh
+def lsh_bucket_col(emb: Column) -> Column:
+    """Sign-bit bucket from the seeded hyperplanes (pure column math)."""
+    v = F.lit(0).cast("long")
+    for i, plane in enumerate(PLANES):
+        dot = F.lit(0.0)
+        for j, wgt in enumerate(plane):
+            dot = dot + F.lit(float(wgt)) * F.element_at(emb, j + 1).cast("double")
+        v = v + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return v
+
+
+def lsh_bucket_sql(emb: str) -> str:
+    parts = []
+    for i, plane in enumerate(PLANES):
+        dot = " + ".join(
+            f"{float(w)!r} * CAST({emb}[{j + 1}] AS DOUBLE)"
+            for j, w in enumerate(plane)
+        )
+        parts.append(f"(CASE WHEN (0.0 + {dot}) > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)")
+    return "(" + " + ".join(parts) + ")"
+
+
+def ann_lsh_topk(df: DataFrame, id_col: str = "vec_id",
+                 emb_col: str = "embedding",
+                 n_queries: int = 10, k: int = 3) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket."""
+    with_b = df.select(
+        F.col(id_col), F.col(emb_col), lsh_bucket_col(F.col(emb_col)).alias("bucket")
+    )
+    q = with_b.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb"), "bucket"
+    )
+    c = with_b.select(
+        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("c_emb"), "bucket"
+    )
+    joined = q.join(c, "bucket").filter(F.col("neighbor_id") != F.col("query_id"))
+    cos = cosine_col(F.col("q_emb"), F.col("c_emb"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        joined.select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos_r"))
+    )
+
+
+def ann_lsh_topk_sql(table: str = "embeddings", id_col: str = "vec_id",
+                     emb_col: str = "embedding",
+                     n_queries: int = 10, k: int = 3) -> str:
+    cos = cosine_sql("q.q_emb", "c.c_emb")
+    b = lsh_bucket_sql(emb_col)
+    return (
+        f"WITH wb AS (SELECT {id_col}, {emb_col}, {b} AS bucket FROM {table}), "
+        f"q AS (SELECT {id_col} AS query_id, {emb_col} AS q_emb, bucket FROM wb "
+        f"WHERE {id_col} < {n_queries}), "
+        f"c AS (SELECT {id_col} AS neighbor_id, {emb_col} AS c_emb, bucket FROM wb), "
+        f"scored AS (SELECT query_id, neighbor_id, {cos} AS cos, "
+        f"ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY {cos} DESC, neighbor_id) AS rank "
+        f"FROM q JOIN c USING (bucket) WHERE neighbor_id <> query_id) "
+        f"SELECT query_id, neighbor_id, rank, ROUND(cos, 6) AS cos_r "
+        f"FROM scored WHERE rank <= {k}"
+    )
+
+
+# --------------------------------------------- embedding near-dup pairs
+def cosine_dup_pairs(df: DataFrame, id_col: str = "vec_id",
+                     emb_col: str = "embedding", label_col: str = "label",
+                     threshold: float = 0.9) -> DataFrame:
+    """Near-duplicate pairs by cosine within a blocking key (label)."""
+    a = df.select(
+        F.col(label_col),
+        F.col(id_col).alias("vec_a"),
+        F.col(emb_col).alias("emb_a"),
+    )
+    b = df.select(
+        F.col(label_col),
+        F.col(id_col).alias("vec_b"),
+        F.col(emb_col).alias("emb_b"),
+    )
+    joined = a.join(b, label_col).filter(F.col("vec_a") < F.col("vec_b"))
+    cos = cosine_col(F.col("emb_a"), F.col("emb_b"))
+    return (
+        joined.select("vec_a", "vec_b", F.round(cos, 6).alias("cos_r"))
+        .filter(F.col("cos_r") >= threshold)
+    )
+
+
+def cosine_dup_pairs_sql(table: str = "embeddings", id_col: str = "vec_id",
+                         emb_col: str = "embedding", label_col: str = "label",
+                         threshold: float = 0.9) -> str:
+    cos = cosine_sql("a.emb_a", "b.emb_b")
+    return (
+        f"WITH a AS (SELECT {label_col}, {id_col} AS vec_a, {emb_col} AS emb_a FROM {table}), "
+        f"b AS (SELECT {label_col}, {id_col} AS vec_b, {emb_col} AS emb_b FROM {table}) "
+        f"SELECT vec_a, vec_b, ROUND({cos}, 6) AS cos_r "
+        f"FROM a JOIN b USING ({label_col}) WHERE vec_a < vec_b "
+        f"AND ROUND({cos}, 6) >= {threshold!r}"
+    )

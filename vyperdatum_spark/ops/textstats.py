@@ -1,0 +1,194 @@
+"""Text analysis for training-data curation.
+
+Language-ID (marker-word heuristic), quality scoring (length / word /
+stopword ratios), token counting (whitespace + regex "BPE-ish"
+word/number pieces), and document fingerprinting (winnowing: k-gram
+rolling hashes, min per sliding window). All built-in column math —
+no Python UDFs — with exact DuckDB oracle equivalents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import hash60, hash60_sql
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "at", "for")
+
+# marker words per language for the n-gram/marker heuristic; the
+# fixture corpus is synthetic word-soup, so markers double as a
+# deterministic scoring exercise (argmax with lexicographic tiebreak)
+LANG_MARKERS = {
+    "en": ("the", "and", "value", "table"),
+    "es": ("el", "la", "los", "valor"),
+    "de": ("der", "die", "und", "wert"),
+    "fr": ("le", "la", "et", "valeur"),
+}
+
+TOKEN_RE = "[a-z]+|[0-9]+"
+
+KGRAM = 5
+WINNOW_W = 4
+
+
+def _toks(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+# ------------------------------------------------------------- quality
+def quality_cols(text: Column) -> dict[str, Column]:
+    toks = _toks(text)
+    n_chars = F.length(text)
+    n_words = F.size(toks)
+    n_stop = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS))
+    )
+    avg_word_len = F.round(
+        (n_chars - (n_words - 1)).cast("double") / n_words.cast("double"), 6
+    )
+    stop_ratio = F.round(n_stop.cast("double") / n_words.cast("double"), 6)
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_words": n_words.cast("long"),
+        "avg_word_len": avg_word_len,
+        "stop_ratio": stop_ratio,
+    }
+
+
+def quality_df(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    cols = quality_cols(F.col(text_col))
+    # quality score: long-enough docs with a sane stopword share
+    score = F.round(
+        F.least(cols["n_words"].cast("double") / F.lit(100.0), F.lit(1.0))
+        * (F.lit(1.0) - cols["stop_ratio"]),
+        6,
+    )
+    return df.select(
+        F.col(id_col),
+        cols["n_chars"].alias("n_chars_c"),
+        cols["n_words"].alias("n_words"),
+        cols["avg_word_len"].alias("avg_word_len"),
+        cols["stop_ratio"].alias("stop_ratio"),
+        score.alias("quality"),
+    )
+
+
+def quality_sql(table: str = "documents", id_col: str = "doc_id",
+                text_col: str = "text") -> str:
+    toks = f"string_split({text_col}, ' ')"
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    n_chars = f"length({text_col})"
+    n_words = f"len({toks})"
+    n_stop = f"len(list_filter({toks}, t -> lower(t) IN ({stop_list})))"
+    avg_wl = f"ROUND(CAST({n_chars} - ({n_words} - 1) AS DOUBLE) / CAST({n_words} AS DOUBLE), 6)"
+    stop_r = f"ROUND(CAST({n_stop} AS DOUBLE) / CAST({n_words} AS DOUBLE), 6)"
+    score = (
+        f"ROUND(LEAST(CAST({n_words} AS DOUBLE) / 100.0, 1.0) * "
+        f"(1.0 - {stop_r}), 6)"
+    )
+    return (
+        f"SELECT {id_col}, CAST({n_chars} AS BIGINT) AS n_chars_c, "
+        f"CAST({n_words} AS BIGINT) AS n_words, {avg_wl} AS avg_word_len, "
+        f"{stop_r} AS stop_ratio, {score} AS quality FROM {table}"
+    )
+
+
+# -------------------------------------------------------------- langid
+def langid_df(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    toks = _toks(F.col(text_col))
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        markers = LANG_MARKERS[lang]
+        cnt = F.size(F.filter(toks, lambda t: F.lower(t).isin(*markers)))
+        scores.append(F.struct(cnt.alias("score"), F.lit(lang).alias("lang")))
+    # argmax score; ties broken by lexicographically LAST lang (struct
+    # max compares score then lang) — deterministic on both engines
+    best = F.greatest(*scores)
+    return df.select(
+        F.col(id_col),
+        best["lang"].alias("pred_lang"),
+        best["score"].cast("long").alias("marker_hits"),
+    )
+
+
+def langid_sql(table: str = "documents", id_col: str = "doc_id",
+               text_col: str = "text") -> str:
+    toks = f"string_split({text_col}, ' ')"
+    structs = []
+    for lang in sorted(LANG_MARKERS):
+        markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        cnt = f"len(list_filter({toks}, t -> lower(t) IN ({markers})))"
+        structs.append(f"{{'score': {cnt}, 'lang': '{lang}'}}")
+    best = f"list_max([{', '.join(structs)}])"
+    return (
+        f"SELECT {id_col}, {best}['lang'] AS pred_lang, "
+        f"CAST({best}['score'] AS BIGINT) AS marker_hits FROM {table}"
+    )
+
+
+# -------------------------------------------------------- token counts
+def token_counts_df(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    ws = F.size(_toks(F.col(text_col)))
+    re_toks = F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0))
+    return df.select(
+        F.col(id_col),
+        ws.cast("long").alias("ws_tokens"),
+        re_toks.cast("long").alias("re_tokens"),
+    )
+
+
+def token_counts_sql(table: str = "documents", id_col: str = "doc_id",
+                     text_col: str = "text") -> str:
+    return (
+        f"SELECT {id_col}, "
+        f"CAST(len(string_split({text_col}, ' ')) AS BIGINT) AS ws_tokens, "
+        f"CAST(len(regexp_extract_all({text_col}, '{TOKEN_RE}')) AS BIGINT) AS re_tokens "
+        f"FROM {table}"
+    )
+
+
+# --------------------------------------------------------- fingerprint
+def fingerprint_df(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Winnowing fingerprint: md5-derived k-gram hashes, min per
+    sliding window of WINNOW_W, distinct mins summarized."""
+    t = F.col(text_col)
+    n_k = F.length(t) - (KGRAM - 1)
+    kgrams = F.transform(
+        F.sequence(F.lit(1), n_k),
+        lambda i: hash60(F.substring(t, 1, 0x7FFFFFFF).substr(i, F.lit(KGRAM))),
+    )
+    n_w = n_k - (WINNOW_W - 1)
+    mins = F.transform(
+        F.sequence(F.lit(1), n_w),
+        lambda j: F.array_min(F.slice(kgrams, j, WINNOW_W)),
+    )
+    fps = F.array_distinct(mins)
+    return df.select(
+        F.col(id_col),
+        F.size(fps).cast("long").alias("n_fp"),
+        F.array_min(fps).alias("fp_min"),
+        F.array_max(fps).alias("fp_max"),
+    )
+
+
+def fingerprint_sql(table: str = "documents", id_col: str = "doc_id",
+                    text_col: str = "text") -> str:
+    n_k = f"(length({text_col}) - {KGRAM - 1})"
+    kgrams = (
+        f"list_transform(generate_series(1, {n_k}), "
+        f"i -> {hash60_sql(f'substr({text_col}, i, {KGRAM})')})"
+    )
+    mins = (
+        f"list_transform(generate_series(1, {n_k} - {WINNOW_W - 1}), "
+        f"j -> list_min(({kgrams})[j : j + {WINNOW_W - 1}]))"
+    )
+    fps = f"list_distinct({mins})"
+    return (
+        f"SELECT {id_col}, CAST(len({fps}) AS BIGINT) AS n_fp, "
+        f"list_min({fps}) AS fp_min, list_max({fps}) AS fp_max FROM {table}"
+    )

@@ -1,0 +1,113 @@
+"""Relational coverage queries (agg / broadcast join / window / set
+ops) over the TPC-H-ish tables — exercises the engine's general
+DataFrame surface and provides stable bench headliners."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+def queries() -> dict:
+    return {
+        "rel_pricing_summary": q_pricing_summary,
+        "rel_top_orders_per_cust": q_top_orders_per_cust,
+        "rel_nation_revenue": q_nation_revenue,
+        "rel_events_hourly": q_events_hourly,
+    }
+
+
+def oracle_sql() -> dict:
+    return {
+        "rel_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+            "COUNT(*) AS n_rows FROM lineitem "
+            "WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+            "GROUP BY l_returnflag, l_linestatus ORDER BY 1, 2"
+        ),
+        "rel_top_orders_per_cust": (
+            "SELECT o_custkey, o_orderkey, o_totalprice, rk FROM ("
+            "  SELECT o_custkey, o_orderkey, o_totalprice, "
+            "  ROW_NUMBER() OVER (PARTITION BY o_custkey "
+            "    ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders) "
+            "WHERE rk <= 3"
+        ),
+        "rel_nation_revenue": (
+            "SELECT n_name, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+            "COUNT(*) AS n_items "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "GROUP BY n_name ORDER BY n_name"
+        ),
+        "rel_events_hourly": (
+            "SELECT date_trunc('hour', ts) AS hour, event_type, "
+            "COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value "
+            "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+    }

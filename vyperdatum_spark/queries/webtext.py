@@ -1,0 +1,73 @@
+"""Webtext training-data queries (dedup / similarity / text analysis)
+for the driver's correctness gate, over documents + embeddings."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ops import dedup, similarity, textstats
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus a deterministic duplicated subset (doc_id % 7)
+    so exact-dedup has real groups to find at every scale factor."""
+    d = _docs(spark, sf_dir)
+    dups = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    return d.unionByName(dups)
+
+
+DUPS_SQL = (
+    "(SELECT * FROM documents UNION ALL "
+    "SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars "
+    "FROM documents WHERE doc_id % 7 = 0)"
+)
+
+
+def queries() -> dict:
+    return {
+        "dedup_exact": lambda s, d: dedup.exact_duplicates(_docs_with_dups(s, d)),
+        "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
+        "dedup_simhash": lambda s, d: dedup.simhash_groups(_docs(s, d)),
+        "dedup_ngram_jaccard": lambda s, d: dedup.jaccard_pairs(
+            _docs(s, d), threshold=0.5
+        ),
+        "dedup_embedding_cosine": lambda s, d: similarity.cosine_dup_pairs(
+            _embs(s, d), threshold=0.35
+        ),
+        "ann_bruteforce_topk": lambda s, d: similarity.ann_bruteforce_topk(
+            _embs(s, d)
+        ),
+        "ann_lsh_topk": lambda s, d: similarity.ann_lsh_topk(_embs(s, d)),
+        "text_quality": lambda s, d: textstats.quality_df(_docs(s, d)),
+        "text_langid": lambda s, d: textstats.langid_df(_docs(s, d)),
+        "text_token_counts": lambda s, d: textstats.token_counts_df(_docs(s, d)),
+        "doc_fingerprint": lambda s, d: textstats.fingerprint_df(_docs(s, d)),
+    }
+
+
+def oracle_sql() -> dict:
+    return {
+        "dedup_exact": dedup.exact_duplicates_sql(table=DUPS_SQL),
+        "dedup_minhash_lsh": dedup.minhash_lsh_pairs_sql(),
+        "dedup_simhash": dedup.simhash_groups_sql(),
+        "dedup_ngram_jaccard": dedup.jaccard_pairs_sql(threshold=0.5),
+        "dedup_embedding_cosine": similarity.cosine_dup_pairs_sql(threshold=0.35),
+        "ann_bruteforce_topk": similarity.ann_bruteforce_topk_sql(),
+        "ann_lsh_topk": similarity.ann_lsh_topk_sql(),
+        "text_quality": textstats.quality_sql(),
+        "text_langid": textstats.langid_sql(),
+        "text_token_counts": textstats.token_counts_sql(),
+        "doc_fingerprint": textstats.fingerprint_sql(),
+    }
