@@ -1,0 +1,157 @@
+"""Raster-path parity tests (reference tests/test_raster.py semantics
+over the synthetic catalog): sep application, sign matrix, nodata
+passthrough, count precedence, out-of-coverage, kNN edge fill."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from vyperdatum_spark.datums import catalog
+from vyperdatum_spark.engine import raster as vr
+from vyperdatum_spark.grids import tiler
+from vyperdatum_spark.spatial import pip
+
+
+def _raster(spark, nodata_cells=0):
+    """A 20×20 raster fully inside region A."""
+    rng = np.random.default_rng(21)
+    vals = np.round(rng.uniform(-30.0, -5.0, (20, 20)), 2)
+    if nodata_cells:
+        vals.ravel()[:nodata_cells] = -9999.0
+    return vals, vr.raster_to_points(
+        spark, origin_x=-77.95, origin_y=34.4, dx=0.02, dy=-0.02,
+        width=20, height=20, values=vals, nodata=-9999.0,
+    )
+
+
+def test_raster_transform_golden(spark):
+    vals, cells_df = _raster(spark)
+    out = vr.transform_raster_points(
+        spark, cells_df, "ellipse", "mllw"
+    ).toPandas().sort_values(["row", "col"])
+    assert out.covered.all()
+    # every cell in region A; golden = round(value + sep_closed_form, 3)
+    exp = []
+    for _, r in out.iterrows():
+        sep = catalog.transform_closed_form(
+            r.region_id, "ellipse", "mllw", r.x, r.y, 0.0
+        )
+        exp.append(round(r["value"] + sep, 3))
+    assert np.allclose(out.z_out.to_numpy(), np.array(exp), atol=1e-9)
+
+
+def test_raster_sounding_sign_matrix(spark):
+    """Height vs sounding input (raster.py:356-364): sounding
+    subtracts the sep instead of adding."""
+    vals, cells_df = _raster(spark)
+    h = vr.transform_raster_points(
+        spark, cells_df, "ellipse", "mllw", input_is_height=True
+    ).toPandas().sort_values(["row", "col"])
+    s = vr.transform_raster_points(
+        spark, cells_df, "ellipse", "mllw", input_is_height=False
+    ).toPandas().sort_values(["row", "col"])
+    # z_h - value = +sep, z_s - value = -sep
+    dh = h.z_out.to_numpy() - h["value"].to_numpy()
+    ds = s.z_out.to_numpy() - s["value"].to_numpy()
+    assert np.allclose(dh, -ds, atol=0.002)
+
+
+def test_raster_nodata_passthrough(spark):
+    vals, cells_df = _raster(spark, nodata_cells=7)
+    out = vr.transform_raster_points(
+        spark, cells_df, "ellipse", "mllw"
+    ).toPandas().sort_values(["row", "col"]).reset_index(drop=True)
+    assert out.loc[:6, "z_out"].isna().all()
+    assert out.loc[7:, "z_out"].notna().all()
+
+
+def test_raster_band_round_trip(spark):
+    vals, cells_df = _raster(spark)
+    out = vr.transform_raster_points(
+        spark, cells_df, "ellipse", "mllw"
+    ).toPandas()
+    band = vr.points_to_band(out, 20, 20)
+    assert band.shape == (20, 20)
+    assert np.isfinite(band).all()
+
+
+def test_raster_count_precedence_w2(spark):
+    """A raster straddling A and the ABC overlap: W2 gives every
+    overlap cell to the region with the most valid cells (A), whereas
+    the points path (W1) would give C."""
+    # 30 cells in A-only + 4 cells in the ABC overlap zone
+    xs = np.concatenate([np.linspace(-77.9, -77.3, 30), np.full(4, -76.75)])
+    ys = np.concatenate([np.full(30, 33.5), np.linspace(34.7, 34.8, 4)])
+    pdf = pd.DataFrame(
+        {
+            "cell_id": np.arange(34, dtype=np.int64),
+            "row": np.zeros(34, dtype=np.int32),
+            "col": np.arange(34, dtype=np.int32),
+            "x": xs,
+            "y": ys,
+            "value": np.full(34, -10.0),
+        }
+    )
+    out = vr.transform_raster_points(
+        spark, spark.createDataFrame(pdf), "ellipse", "mllw"
+    ).toPandas().set_index("cell_id")
+    assert (out.loc[30:, "region_id"] == "RGNAcoast01_8301").all()
+
+
+def test_raster_outside_coverage_catzoc(spark):
+    pdf = pd.DataFrame(
+        {
+            "cell_id": np.arange(2, dtype=np.int64),
+            "row": np.zeros(2, dtype=np.int32),
+            "col": np.arange(2, dtype=np.int32),
+            "x": [-74.2, -74.3],
+            "y": [34.0, 34.0],
+            "value": [-12.0, 5.0],
+        }
+    )
+    out = vr.transform_raster_points(
+        spark, spark.createDataFrame(pdf), "ellipse", "mllw",
+        allow_points_outside_coverage=True,
+    ).toPandas().set_index("cell_id")
+    assert out.loc[0, "z_out"] == -12.0
+    assert out.loc[0, "unc"] == 3.0 - 0.06 * (-12.0)
+    assert out.loc[1, "unc"] == 3.0
+
+
+def test_knn_edge_fill(spark):
+    """NaN-hole grid: a point whose 4 surrounding nodes include NaN is
+    filled from the nearest valid node when knn_fallback=True, NaN
+    otherwise (J8/W3 north_rule requirement)."""
+    region = catalog.REGIONS[0]
+
+    def hole(lon, lat):
+        return (np.abs(lon - (-77.5)) < 0.026) & (np.abs(lat - 34.0) < 0.026)
+
+    defs = []
+    for gid in ["core/geoid12b/gsyntha.gtx", "RGNAcoast01_8301/tss.gtx",
+                "RGNAcoast01_8301/mllw.gtx"]:
+        gd = tiler.grid_def_for_region(gid, region)
+        defs.append(tiler.GridDef(
+            gd.grid_id, gd.lon0, gd.lat0, gd.dlon, gd.dlat, gd.nx, gd.ny,
+            gd.plane, nan_predicate=hole if gid.endswith("mllw.gtx") else None,
+        ))
+    tiles = tiler.build_tile_df(spark, defs)
+    pdf = pd.DataFrame(
+        {"pid": np.array([0], dtype=np.int64),
+         "x": [-77.501], "y": [34.001], "z": [10.0]}
+    )
+    from vyperdatum_spark.engine import transform as tx
+
+    no_knn = tx.transform_points(
+        spark, spark.createDataFrame(pdf), "ellipse", "mllw",
+        tiles=tiles, knn_fallback=False,
+    ).toPandas()
+    assert not no_knn.covered.iloc[0]
+
+    with_knn = tx.transform_points(
+        spark, spark.createDataFrame(pdf), "ellipse", "mllw",
+        tiles=tiles, knn_fallback=True,
+    ).toPandas()
+    assert with_knn.covered.iloc[0]
+    assert np.isfinite(with_knn.z_out.iloc[0])

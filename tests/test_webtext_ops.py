@@ -30,8 +30,7 @@ def _docs_df(spark):
 
 def test_minhash_matches_python(spark):
     got = (
-        _docs_df(spark)
-        .select("doc_id", dedup.minhash_col(F.col("text")).alias("sig"))
+        dedup.minhash_sig_df(_docs_df(spark), "doc_id", "text")
         .toPandas()
         .set_index("doc_id")
     )
@@ -71,8 +70,8 @@ def test_jaccard_pairs_values(spark):
 
 def test_simhash_matches_python(spark):
     got = (
-        _docs_df(spark)
-        .select("doc_id", dedup.simhash_col(F.col("text")).alias("sh"))
+        dedup.simhash_df(_docs_df(spark), "doc_id", "text")
+        .withColumnRenamed("simhash", "sh")
         .toPandas()
         .set_index("doc_id")
     )

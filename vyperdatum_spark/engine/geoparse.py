@@ -23,7 +23,9 @@ ELEV_RE = r"elevation (-?\d+\.\d+) m"
 
 
 def _signed(value: Column, hemi: Column, neg: str) -> Column:
-    v = value.cast("double")
+    # try_cast: regexp misses yield '' which must parse to null, not
+    # raise under Spark 4's default ANSI mode
+    v = value.try_cast("double")
     return F.when(hemi == neg, -v).otherwise(v)
 
 
@@ -35,8 +37,8 @@ def geoparse(pages: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     lat = _signed(F.regexp_extract(t, COORD_RE, 1), F.regexp_extract(t, COORD_RE, 2), "S")
     lon = _signed(F.regexp_extract(t, COORD_RE, 3), F.regexp_extract(t, COORD_RE, 4), "W")
-    z = F.regexp_extract(t, ELEV_RE, 1).cast("double")
-    # regexp_extract returns '' on miss; '' casts to null double
+    z = F.regexp_extract(t, ELEV_RE, 1).try_cast("double")
+    # regexp_extract returns '' on miss; try_cast maps '' to null
     return (
         pages.withColumn("x", lon)
         .withColumn("y", lat)

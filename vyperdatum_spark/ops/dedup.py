@@ -68,19 +68,35 @@ def tokens_col(text: Column) -> Column:
     return F.split(text, " ")
 
 
-def shingles_col(text: Column, w: int = SHINGLE_W) -> Column:
-    """Word w-grams as strings (1-indexed to match SQL).
+def shingles_from_tokens(toks: Column, w: int = SHINGLE_W) -> Column:
+    """Word w-grams from a MATERIALIZED token-array column.
 
-    Guarded for short docs: Spark's sequence(1, 0) yields a DESCENDING
-    [1, 0] (not an empty list like SQL generate_series), so docs with
-    fewer than w tokens explicitly map to an empty array."""
-    toks = tokens_col(text)
+    Two pitfalls shape this function:
+    - Spark's sequence(1, 0) yields a DESCENDING [1, 0] (not an empty
+      list like SQL generate_series) — short docs map to [] explicitly.
+    - ``toks`` must be a real column, not an inlined split(): lambda
+      bodies re-evaluate inlined subtrees per element, turning the
+      shingle build into O(n_tokens²) string splitting per document
+      (observed: 29 s for 5 k docs vs <2 s staged)."""
     n = F.size(toks) - (w - 1)
     sh = F.transform(
         F.sequence(F.lit(1), n),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(w)]),
     )
     return F.when(n >= 1, sh).otherwise(F.array().cast("array<string>"))
+
+
+def shingled_df(df: DataFrame, id_col: str, text_col: str,
+                w: int = SHINGLE_W, extra_cols: tuple = ()) -> DataFrame:
+    """(id, [extra...], _sh array<string>) with tokens staged."""
+    toks = df.select(
+        F.col(id_col), *[F.col(c) for c in extra_cols],
+        tokens_col(F.col(text_col)).alias("_toks"),
+    )
+    return toks.select(
+        F.col(id_col), *[F.col(c) for c in extra_cols],
+        shingles_from_tokens(F.col("_toks"), w).alias("_sh"),
+    )
 
 
 def shingles_sql(text: str = "text", w: int = SHINGLE_W) -> str:
@@ -100,20 +116,33 @@ def hash60_sql(expr: str) -> str:
 
 
 # -------------------------------------------------------------- minhash
-def minhash_col(text: Column) -> Column:
-    """array<long> of N_MINHASH signature values (empty-shingle docs
-    get P as the identity/max value)."""
-    hashes = F.transform(shingles_col(text), lambda s: hash60(s) % MERSENNE_P)
+def minhash_sig_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, sig array<long>) via STAGED projections.
+
+    Materializing shingles → hashes → sig as separate select steps is
+    load-bearing for performance: higher-order functions are
+    interpreted (CodegenFallback), and inlining the shingle+md5
+    pipeline into all 16 signature expressions both re-evaluates it
+    16× per row and blows up Catalyst planning time (~60 s fixed cost
+    observed). With materialized columns each stage is evaluated once
+    per row."""
+    sh = shingled_df(df, id_col, text_col)
+    hs = sh.select(
+        F.col(id_col),
+        F.transform(F.col("_sh"), lambda s: hash60(s) % MERSENNE_P).alias("_hs"),
+    )
     sigs = [
         F.coalesce(
             F.array_min(
-                F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE_P)
+                F.transform(
+                    F.col("_hs"), lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE_P
+                )
             ),
             F.lit(MERSENNE_P),
         )
         for a, b in PERMS
     ]
-    return F.array(*sigs)
+    return hs.select(F.col(id_col), F.array(*sigs).alias("sig"))
 
 
 def minhash_sql(text: str = "text") -> str:
@@ -147,7 +176,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text") -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing ≥1 LSH band."""
     rows = N_MINHASH // N_BANDS
-    sig = df.select(F.col(id_col), minhash_col(F.col(text_col)).alias("sig"))
+    sig = minhash_sig_df(df, id_col, text_col)
     bands = sig.select(
         id_col,
         F.explode(
@@ -192,10 +221,9 @@ def minhash_lsh_pairs_sql(table: str = "documents", id_col: str = "doc_id",
 N_SIMHASH_BITS = 16
 
 
-def simhash_col(text: Column, bits: int = N_SIMHASH_BITS) -> Column:
-    """Token-level SimHash: bit i set iff more than half the tokens
-    have bit i set in their 60-bit hash."""
-    hashes = F.transform(tokens_col(text), lambda t: hash60(t))
+def simhash_from_hashes(hashes: Column, bits: int = N_SIMHASH_BITS) -> Column:
+    """SimHash over a MATERIALIZED array<long> column: bit i set iff
+    more than half the hashes have bit i set."""
     n = F.size(hashes)
     v = F.lit(0).cast("long")
     for i in range(bits):
@@ -204,6 +232,20 @@ def simhash_col(text: Column, bits: int = N_SIMHASH_BITS) -> Column:
         )
         v = v + F.when(cnt * 2 > n, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
     return v
+
+
+def simhash_df(df: DataFrame, id_col: str, text_col: str,
+               bits: int = N_SIMHASH_BITS) -> DataFrame:
+    """(id, simhash) with the token-hash array materialized first (the
+    16 bit-count expressions then scan a concrete column instead of
+    re-deriving tokens+md5 16× per row)."""
+    hs = df.select(
+        F.col(id_col),
+        F.transform(tokens_col(F.col(text_col)), lambda t: hash60(t)).alias("_hs"),
+    )
+    return hs.select(
+        F.col(id_col), simhash_from_hashes(F.col("_hs"), bits).alias("simhash")
+    )
 
 
 def simhash_sql(text: str = "text", bits: int = N_SIMHASH_BITS) -> str:
@@ -221,7 +263,7 @@ def simhash_groups(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
     """Docs bucketed by identical SimHash (candidate near-dups)."""
     return (
-        df.select(F.col(id_col), simhash_col(F.col(text_col)).alias("simhash"))
+        simhash_df(df, id_col, text_col)
         .groupBy("simhash")
         .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("min_doc_id"))
         .filter(F.col("n_docs") > 1)
@@ -243,30 +285,102 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                   threshold: float = 0.5) -> DataFrame:
     """Word-shingle Jaccard over same-language pairs (the verify stage
     of the dedup pipeline; run on LSH candidates at full scale)."""
-    sets = df.select(
+    sets = shingled_df(df, id_col, text_col, extra_cols=(lang_col,)).select(
         F.col(id_col),
         F.col(lang_col),
-        F.array_distinct(shingles_col(F.col(text_col))).alias("sset"),
+        F.array_distinct(F.col("_sh")).alias("sset"),
     )
     a = sets.select(
         F.col(lang_col),
         F.col(id_col).alias("doc_a"),
         F.col("sset").alias("set_a"),
+        F.size("sset").alias("sz_a"),
     )
     b = sets.select(
         F.col(lang_col),
         F.col(id_col).alias("doc_b"),
         F.col("sset").alias("set_b"),
+        F.size("sset").alias("sz_b"),
     )
-    joined = a.join(b, lang_col).filter(F.col("doc_a") < F.col("doc_b"))
-    inter = F.size(F.array_intersect("set_a", "set_b"))
-    union = F.size(F.array_union("set_a", "set_b"))
+    # lossless size prune: jaccard ≥ τ ⟹ min(|A|,|B|) ≥ τ·max(|A|,|B|)
+    # (I ≤ min, U ≥ max) — cuts the pair count before set intersection
+    joined = (
+        a.join(b, lang_col)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            F.least("sz_a", "sz_b").cast("double")
+            >= F.lit(threshold) * F.greatest("sz_a", "sz_b").cast("double")
+        )
+    )
+    staged = joined.select(
+        "doc_a",
+        "doc_b",
+        F.size(F.array_intersect("set_a", "set_b")).alias("_i"),
+        F.size(F.array_union("set_a", "set_b")).alias("_u"),
+    )
     # two empty shingle sets (docs shorter than the shingle width)
     # have undefined similarity -> NULL, filtered by the threshold
-    jac = F.when(union > 0, inter.cast("double") / union.cast("double"))
+    jac = F.when(F.col("_u") > 0, F.col("_i").cast("double") / F.col("_u").cast("double"))
     return (
-        joined.select("doc_a", "doc_b", jac.alias("jaccard"))
+        staged.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def lsh_verified_pairs(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       threshold: float = 0.5) -> DataFrame:
+    """THE scale path: MinHash-LSH candidate generation followed by
+    exact Jaccard verification on candidates only — O(n·bands) +
+    O(candidates) instead of the all-pairs O(n²) join."""
+    cand = minhash_lsh_pairs(df, id_col, text_col)
+    sets = shingled_df(df, id_col, text_col).select(
+        F.col(id_col), F.array_distinct(F.col("_sh")).alias("sset")
+    )
+    a = sets.select(F.col(id_col).alias("doc_a"), F.col("sset").alias("set_a"))
+    b = sets.select(F.col(id_col).alias("doc_b"), F.col("sset").alias("set_b"))
+    staged = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("set_a", "set_b")).alias("_i"),
+            F.size(F.array_union("set_a", "set_b")).alias("_u"),
+        )
+    )
+    jac = F.when(F.col("_u") > 0, F.col("_i").cast("double") / F.col("_u").cast("double"))
+    return (
+        staged.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def lsh_verified_pairs_sql(table: str = "documents", id_col: str = "doc_id",
+                           text_col: str = "text",
+                           threshold: float = 0.5) -> str:
+    rows = N_MINHASH // N_BANDS
+    band_structs = ", ".join(
+        f"{{'band_idx': {b}, 'band_val': {band_sql('sig', b, rows)}}}"
+        for b in range(N_BANDS)
+    )
+    sset = f"list_distinct({shingles_sql(text_col)})"
+    jac = (
+        "CASE WHEN len(list_distinct(list_concat(sa.sset, sb.sset))) > 0 THEN "
+        "CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) / "
+        "CAST(len(list_distinct(list_concat(sa.sset, sb.sset))) AS DOUBLE) END"
+    )
+    return (
+        f"WITH sig AS (SELECT {id_col}, {minhash_sql(text_col)} AS sig FROM {table}), "
+        f"bands AS (SELECT {id_col}, unnest([{band_structs}], recursive := true) FROM sig), "
+        f"cand AS (SELECT DISTINCT l.{id_col} AS doc_a, r.{id_col} AS doc_b "
+        f"FROM bands l JOIN bands r USING (band_idx, band_val) "
+        f"WHERE l.{id_col} < r.{id_col}), "
+        f"sets AS (SELECT {id_col}, {sset} AS sset FROM {table}) "
+        f"SELECT doc_a, doc_b, {jac} AS jaccard "
+        f"FROM cand JOIN sets sa ON cand.doc_a = sa.{id_col} "
+        f"JOIN sets sb ON cand.doc_b = sb.{id_col} "
+        f"WHERE {jac} >= {threshold!r}"
     )
 
 

@@ -61,13 +61,25 @@ def cosine_sql(a: str, b: str) -> str:
 def ann_bruteforce_topk(df: DataFrame, id_col: str = "vec_id",
                         emb_col: str = "embedding",
                         n_queries: int = 10, k: int = 5) -> DataFrame:
-    """Exact top-k cosine neighbors for the first ``n_queries`` ids."""
+    """Exact top-k cosine neighbors for the first ``n_queries`` ids.
+
+    Norms are materialized per VECTOR before the join (computing them
+    inside the pair expression would redo the 64-term reduction per
+    pair — n_q× redundant work on the candidate side)."""
     q = df.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb")
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        norm_col(F.col(emb_col)).alias("q_norm"),
     )
-    c = df.select(F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("c_emb"))
+    c = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).alias("c_emb"),
+        norm_col(F.col(emb_col)).alias("c_norm"),
+    )
     joined = q.crossJoin(c).filter(F.col("neighbor_id") != F.col("query_id"))
-    cos = cosine_col(F.col("q_emb"), F.col("c_emb"))
+    cos = dot_col(F.col("q_emb"), F.col("c_emb")) / (
+        F.col("q_norm") * F.col("c_norm")
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )
@@ -123,16 +135,23 @@ def ann_lsh_topk(df: DataFrame, id_col: str = "vec_id",
                  n_queries: int = 10, k: int = 3) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket."""
     with_b = df.select(
-        F.col(id_col), F.col(emb_col), lsh_bucket_col(F.col(emb_col)).alias("bucket")
+        F.col(id_col),
+        F.col(emb_col),
+        lsh_bucket_col(F.col(emb_col)).alias("bucket"),
+        norm_col(F.col(emb_col)).alias("nrm"),
     )
     q = with_b.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb"), "bucket"
+        F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb"),
+        "bucket", F.col("nrm").alias("q_norm"),
     )
     c = with_b.select(
-        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("c_emb"), "bucket"
+        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("c_emb"),
+        "bucket", F.col("nrm").alias("c_norm"),
     )
     joined = q.join(c, "bucket").filter(F.col("neighbor_id") != F.col("query_id"))
-    cos = cosine_col(F.col("q_emb"), F.col("c_emb"))
+    cos = dot_col(F.col("q_emb"), F.col("c_emb")) / (
+        F.col("q_norm") * F.col("c_norm")
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )
@@ -171,14 +190,18 @@ def cosine_dup_pairs(df: DataFrame, id_col: str = "vec_id",
         F.col(label_col),
         F.col(id_col).alias("vec_a"),
         F.col(emb_col).alias("emb_a"),
+        norm_col(F.col(emb_col)).alias("norm_a"),
     )
     b = df.select(
         F.col(label_col),
         F.col(id_col).alias("vec_b"),
         F.col(emb_col).alias("emb_b"),
+        norm_col(F.col(emb_col)).alias("norm_b"),
     )
     joined = a.join(b, label_col).filter(F.col("vec_a") < F.col("vec_b"))
-    cos = cosine_col(F.col("emb_a"), F.col("emb_b"))
+    cos = dot_col(F.col("emb_a"), F.col("emb_b")) / (
+        F.col("norm_a") * F.col("norm_b")
+    )
     return (
         joined.select("vec_a", "vec_b", F.round(cos, 6).alias("cos_r"))
         .filter(F.col("cos_r") >= threshold)

@@ -155,24 +155,33 @@ def token_counts_sql(table: str = "documents", id_col: str = "doc_id",
 def fingerprint_df(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
     """Winnowing fingerprint: md5-derived k-gram hashes, min per
-    sliding window of WINNOW_W, distinct mins summarized."""
+    sliding window of WINNOW_W, distinct mins summarized.
+
+    Staged projections are load-bearing: with the k-gram transform
+    inlined into the window lambda, interpreted HOF evaluation
+    re-derives ALL k-gram md5s per window position — O(n²) md5 per
+    document. Materializing `_kg` first makes each slice O(w)."""
     t = F.col(text_col)
     n_k = F.length(t) - (KGRAM - 1)
-    kgrams = F.transform(
-        F.sequence(F.lit(1), n_k),
-        lambda i: hash60(F.substring(t, 1, 0x7FFFFFFF).substr(i, F.lit(KGRAM))),
-    )
-    n_w = n_k - (WINNOW_W - 1)
-    mins = F.transform(
-        F.sequence(F.lit(1), n_w),
-        lambda j: F.array_min(F.slice(kgrams, j, WINNOW_W)),
-    )
-    fps = F.array_distinct(mins)
-    return df.select(
+    kg = df.select(
         F.col(id_col),
-        F.size(fps).cast("long").alias("n_fp"),
-        F.array_min(fps).alias("fp_min"),
-        F.array_max(fps).alias("fp_max"),
+        F.transform(
+            F.sequence(F.lit(1), n_k), lambda i: hash60(t.substr(i, F.lit(KGRAM)))
+        ).alias("_kg"),
+    )
+    mins = kg.select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("_kg")) - (WINNOW_W - 1)),
+            lambda j: F.array_min(F.slice(F.col("_kg"), j, WINNOW_W)),
+        ).alias("_mins"),
+    )
+    fps = mins.select(F.col(id_col), F.array_distinct(F.col("_mins")).alias("_fps"))
+    return fps.select(
+        F.col(id_col),
+        F.size(F.col("_fps")).cast("long").alias("n_fp"),
+        F.array_min(F.col("_fps")).alias("fp_min"),
+        F.array_max(F.col("_fps")).alias("fp_max"),
     )
 
 

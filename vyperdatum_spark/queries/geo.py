@@ -265,6 +265,55 @@ def catzoc_oracle_sql() -> str:
     )
 
 
+def q_geo_version_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 analog: per-grid md5 fingerprint computed IN Spark over the
+    catalog definition rows (reference hashes every grid file,
+    core.py:1063-1147)."""
+    rows = [
+        (gid, repr(a), repr(b), repr(c))
+        for gid, (a, b, c) in sorted(catalog.GRID_PLANES.items())
+    ]
+    df = spark.createDataFrame(rows, "grid_id string, a string, b string, c string")
+    payload = F.concat_ws("|", "grid_id", "a", "b", "c")
+    return df.select("grid_id", F.md5(payload).alias("grid_md5"))
+
+
+def q_geo_count_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 raster precedence: the region with the MOST valid points
+    wins on overlap (raster.py:226-233)."""
+    pts = derived_points(spark, sf_dir)
+    out = tx.transform_points(
+        spark, pts, "ellipse", "mllw", key_col="pid",
+        include_uncertainty=False, precedence="count", n_salt=8,
+    )
+    return out.select("pid", "region_id", "z_out")
+
+
+def count_precedence_oracle_sql() -> str:
+    """W2 in SQL: explode point×region containment, count per region,
+    winner = max (count, region_ord) — ties to later catalog order."""
+    members = " UNION ALL ".join(
+        f"SELECT pid, x, y, z, '{r.region_id}' AS region_id, "
+        f"{r.region_ord} AS region_ord FROM pts "
+        f"WHERE x >= {r.bbox[0]!r} AND x < {r.bbox[2]!r} "
+        f"AND y >= {r.bbox[1]!r} AND y < {r.bbox[3]!r}"
+        for r in catalog.REGIONS
+    )
+    return (
+        f"{_pts_cte()}, members AS ({members}), "
+        "counts AS (SELECT region_id, COUNT(*) AS cnt FROM members GROUP BY region_id), "
+        "ranked AS (SELECT m.*, ROW_NUMBER() OVER (PARTITION BY pid "
+        "ORDER BY c.cnt DESC, m.region_ord DESC) AS rk "
+        "FROM members m JOIN counts c USING (region_id)), "
+        "winner AS (SELECT pid, x, y, z, region_id FROM ranked WHERE rk = 1) "
+        "SELECT p.pid, w.region_id, "
+        + z_out_case_sql("ellipse", "mllw", "w.x", "w.y", "w.z").replace(
+            "region_id =", "w.region_id ="
+        )
+        + " AS z_out FROM pts p LEFT JOIN winner w USING (pid)"
+    )
+
+
 def queries() -> dict:
     return {
         "geo_extent": q_geo_extent,
@@ -279,6 +328,8 @@ def queries() -> dict:
         "geo_outside_catzoc": q_geo_outside_catzoc,
         "geo_chart_datum_flip": q_geo_chart_datum_flip,
         "geo_pipeline_plans": q_geo_pipeline_plans,
+        "geo_version_fingerprint": q_geo_version_fingerprint,
+        "geo_count_precedence": q_geo_count_precedence,
     }
 
 
@@ -332,4 +383,14 @@ def oracle_sql() -> dict:
         "geo_pipeline_plans": (
             f"SELECT * FROM (VALUES {plans_values}) AS t(region_id, pipeline_str)"
         ),
+        "geo_version_fingerprint": (
+            "SELECT grid_id, md5(grid_id || '|' || a || '|' || b || '|' || c) AS grid_md5 "
+            "FROM (VALUES "
+            + ", ".join(
+                f"('{gid}', '{a!r}', '{b!r}', '{c!r}')"
+                for gid, (a, b, c) in sorted(catalog.GRID_PLANES.items())
+            )
+            + ") AS t(grid_id, a, b, c)"
+        ),
+        "geo_count_precedence": count_precedence_oracle_sql(),
     }

@@ -43,6 +43,9 @@ def queries() -> dict:
         "dedup_ngram_jaccard": lambda s, d: dedup.jaccard_pairs(
             _docs(s, d), threshold=0.5
         ),
+        "dedup_lsh_verified": lambda s, d: dedup.lsh_verified_pairs(
+            _docs(s, d), threshold=0.5
+        ),
         "dedup_embedding_cosine": lambda s, d: similarity.cosine_dup_pairs(
             _embs(s, d), threshold=0.35
         ),
@@ -63,6 +66,7 @@ def oracle_sql() -> dict:
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs_sql(),
         "dedup_simhash": dedup.simhash_groups_sql(),
         "dedup_ngram_jaccard": dedup.jaccard_pairs_sql(threshold=0.5),
+        "dedup_lsh_verified": dedup.lsh_verified_pairs_sql(threshold=0.5),
         "dedup_embedding_cosine": similarity.cosine_dup_pairs_sql(threshold=0.35),
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk_sql(),
         "ann_lsh_topk": similarity.ann_lsh_topk_sql(),
