@@ -137,25 +137,48 @@ def scaling_child(pages_path: str, cores: int, reps: int = 3) -> None:
     spark.stop()
 
 
-def run_scaling() -> dict:
+def _run_child(pages_path: str, cores: int) -> dict:
+    cmd = [sys.executable, os.path.abspath(__file__), "--scaling-child",
+           pages_path, str(cores)]
+    out = subprocess.run(
+        cmd, capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def run_scaling(pairs: int = 3) -> dict:
+    """Alternating-pairs protocol: this sandbox has bursty external
+    CPU steal (observed 8-22%), so a single sequential 8-then-32
+    measurement is dominated by which burst each level landed in.
+    Each pair runs local[8] then local[32] back-to-back; the
+    efficiency estimate is the MEDIAN of per-pair throughput ratios,
+    which cancels slow drift."""
     pages_path = ensure_bench_pages()
-    results = {}
-    for cores in (8, 32):
-        cmd = [sys.executable, os.path.abspath(__file__), "--scaling-child",
-               pages_path, str(cores)]
-        out = subprocess.run(
-            cmd, capture_output=True, text=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        results[cores] = json.loads(line)
-    eff = (results[32]["rows_per_sec"] / results[8]["rows_per_sec"]) / 4.0
+    pair_results = []
+    for _ in range(pairs):
+        r8 = _run_child(pages_path, 8)
+        r32 = _run_child(pages_path, 32)
+        pair_results.append((r8, r32))
+    ratios = sorted(
+        p32["rows_per_sec"] / p8["rows_per_sec"] for p8, p32 in pair_results
+    )
+    eff = ratios[len(ratios) // 2] / 4.0
+    best8 = min(p8["sec"] for p8, _ in pair_results)
+    best32 = min(p32["sec"] for _, p32 in pair_results)
+    rows = pair_results[0][0]["rows"]
     report = {
-        "rows": results[8]["rows"],
-        "local8_sec": results[8]["sec"],
-        "local32_sec": results[32]["sec"],
-        "local8_rows_per_sec": results[8]["rows_per_sec"],
-        "local32_rows_per_sec": results[32]["rows_per_sec"],
+        "rows": rows,
+        "pairs": [
+            {"local8_sec": p8["sec"], "local32_sec": p32["sec"],
+             "ratio": round(p32["rows_per_sec"] / p8["rows_per_sec"], 2)}
+            for p8, p32 in pair_results
+        ],
+        "local8_sec": best8,
+        "local32_sec": best32,
+        "local8_rows_per_sec": round(rows / best8, 1),
+        "local32_rows_per_sec": round(rows / best32, 1),
         "scaling_efficiency": round(eff, 3),
     }
     _write_baseline_md(pages_path, report)
@@ -176,11 +199,15 @@ def _write_baseline_md(pages_path: str, r: dict) -> None:
             "- command per level (fresh JVM each):\n"
             "  `python bench.py --scaling-child <pages> 8|32`\n"
             "  (equivalent spark-submit: `spark-submit --master local[N] "
-            "--py-files vyperdatum_spark.zip bench.py --scaling-child <pages> N`)\n\n"
-            "| level | wall sec | rows/s |\n|---|---|---|\n"
+            "--py-files vyperdatum_spark.zip bench.py --scaling-child <pages> N`)\n"
+            "- protocol: alternating 8/32 pairs (bursty external CPU steal on\n"
+            "  this sandbox — efficiency is the median per-pair throughput\n"
+            "  ratio / 4); each child does 1 untimed warm-up + median of 3\n\n"
+            "| level | best wall sec | rows/s |\n|---|---|---|\n"
             f"| local[8]  (N)  | {r['local8_sec']} | {r['local8_rows_per_sec']:,} |\n"
             f"| local[32] (4N) | {r['local32_sec']} | {r['local32_rows_per_sec']:,} |\n\n"
-            f"**Scaling efficiency = (rows/s at 4N ÷ rows/s at N) / 4 = "
+            f"per-pair: {r['pairs']}\n\n"
+            f"**Scaling efficiency = median(rows/s ratio) / 4 = "
             f"{r['scaling_efficiency']}** (target ≥ 0.8)\n"
         )
 

@@ -186,6 +186,57 @@ def make_broadcast_kernel(
             total = total + sign * v  # pipeline order, float64
         return idx, total
 
+    def _winner_arrays_np(xs, ys, c5s, c9s):
+        n = len(xs)
+        best_sep = np.full(n, np.nan)
+        best_ord = np.full(n, -1, dtype=np.int32)
+        best_code = np.full(n, -1, dtype=np.int32)  # index into `order`
+        for code, rid in enumerate(order):  # ascending ord = W1
+            cand = np.isin(c9s, covers[rid])
+            idx = np.flatnonzero(cand)
+            if len(idx) == 0:
+                continue
+            idx, total = _region_sep(rid, xs, ys, c5s, idx)
+            if total is None or len(idx) == 0:
+                continue
+            ok = np.isfinite(total)
+            upd = idx[ok]
+            best_sep[upd] = total[ok]
+            best_ord[upd] = region_ords[rid]
+            best_code[upd] = code
+        return best_code, best_ord, best_sep
+
+    def arrow_passthrough(it):
+        """mapInArrow kernel: heavy input columns pass through as raw
+        Arrow buffers (no pandas object materialization — measured 4×
+        collapse at 32 workers otherwise); string outputs are built in
+        Arrow C++ via dictionary take."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        region_dict = pa.array(order, type=pa.string())
+        for batch in it:
+            names = batch.schema.names
+            xs = batch.column(names.index(x_col)).to_numpy(zero_copy_only=False)
+            ys = batch.column(names.index(y_col)).to_numpy(zero_copy_only=False)
+            xs = np.asarray(xs, dtype=np.float64)
+            ys = np.asarray(ys, dtype=np.float64)
+            c9s = cells.encode_np(xs, ys, cells.FINE_RES)
+            c5s = cells.encode_np(xs, ys, cells.COARSE_RES)
+            best_code, best_ord, best_sep = _winner_arrays_np(xs, ys, c5s, c9s)
+            member = best_code >= 0
+            codes = pa.array(
+                np.where(member, best_code, 0).astype(np.int32),
+                mask=~member,
+            )
+            region_col = pc.take(region_dict, codes)
+            ord_col = pa.array(best_ord, mask=~member)
+            sep_col = pa.array(best_sep, mask=~member)
+            yield pa.RecordBatch.from_arrays(
+                list(batch.columns) + [region_col, ord_col, sep_col],
+                names + ["region_id", "region_ord", "sep"],
+            )
+
     def _winner_arrays(pdf, xs, ys, c5s, c9s):
         n = len(pdf)
         best_sep = np.full(n, np.nan)
@@ -206,6 +257,9 @@ def make_broadcast_kernel(
             best_region[upd] = rid
         return best_region, best_ord, best_sep
 
+    if emit == "passthrough":
+        return arrow_passthrough, out_schema
+
     def fn(it):
         for pdf in it:
             n = len(pdf)
@@ -215,24 +269,7 @@ def make_broadcast_kernel(
             ys = pdf[y_col].to_numpy(dtype=np.float64)
             c9s = cells.encode_np(xs, ys, cells.FINE_RES)
             c5s = cells.encode_np(xs, ys, cells.COARSE_RES)
-            if emit == "passthrough":
-                # zero-shuffle: all input columns ride through Arrow
-                # (in-process, byte-exact) — strictly cheaper than the
-                # alternative sort-merge join that would move the same
-                # heavy payload through shuffle disk + network
-                best_region, best_ord, best_sep = _winner_arrays(
-                    pdf, xs, ys, c5s, c9s
-                )
-                member = best_ord >= 0
-                out = pdf.copy()
-                out["region_id"] = best_region
-                out["region_ord"] = pd.array(
-                    np.where(member, best_ord, 0), dtype="Int32"
-                )
-                out["region_ord"] = out["region_ord"].where(member)
-                out["sep"] = np.where(member, best_sep, np.nan)
-                yield out
-            elif emit == "winner":
+            if emit == "winner":
                 best_region, best_ord, best_sep = _winner_arrays(
                     pdf, xs, ys, c5s, c9s
                 )
@@ -419,7 +456,7 @@ def transform_points(
                 T.StructField("region_ord", T.IntegerType(), True),
                 T.StructField("sep", T.DoubleType(), True),
             ]
-            enriched = base.mapInPandas(kernel, T.StructType(out_fields))
+            enriched = base.mapInArrow(kernel, T.StructType(out_fields))
             return _finalize(
                 enriched, None, spark, from_datum, to_datum, z, flip,
                 allow_points_outside_coverage, include_uncertainty,

@@ -43,7 +43,10 @@ def get_spark(
         # mapInPandas/applyInPandas (measured 5-10× on this box)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # NOT bigger-is-better: oversized local heaps (48g) trigger
+        # kernel page-management storms on this box (40-70% sys time,
+        # 3-10× slowdowns); 8-12g is the sweet spot for these jobs
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
     )
