@@ -19,8 +19,11 @@ def test_stream_ingest_incremental_exactly_once(spark, tmp_path):
     ck_dir = str(tmp_path / "ck")
     os.makedirs(in_dir)
 
-    # first file batch
-    datagen.pages_pdf(120, seed=1).to_parquet(f"{in_dir}/batch1.parquet")
+    # first file batch (µs timestamps: Spark 4's vectorized reader
+    # rejects pandas' default ns INT64 against PAGES_SCHEMA)
+    datagen.pages_pdf(120, seed=1).to_parquet(
+        f"{in_dir}/batch1.parquet", coerce_timestamps="us"
+    )
     ingest.stream_transform_pages(spark, in_dir, out_dir, ck_dir)
     n1 = spark.read.parquet(out_dir).count()
     assert n1 > 0
@@ -30,7 +33,9 @@ def test_stream_ingest_incremental_exactly_once(spark, tmp_path):
     assert spark.read.parquet(out_dir).count() == n1
 
     # second file arrives → only IT is processed
-    datagen.pages_pdf(80, seed=2).to_parquet(f"{in_dir}/batch2.parquet")
+    datagen.pages_pdf(80, seed=2).to_parquet(
+        f"{in_dir}/batch2.parquet", coerce_timestamps="us"
+    )
     ingest.stream_transform_pages(spark, in_dir, out_dir, ck_dir)
     out = spark.read.parquet(out_dir)
     n2 = out.count()

@@ -118,6 +118,15 @@ DATUM_ALIASES = {"noaa chart datum": "mllw", "noaa chart height": "mhw"}
 ZERO_UNC_DATUMS = frozenset({"ellipse", "geoid", "navd88"})
 
 
+# Bumped whenever the region/grid working set changes (runtime region
+# registration); keys the driver-side grid-payload cache.
+_CATALOG_VERSION = 0
+
+
+def catalog_version() -> int:
+    return _CATALOG_VERSION
+
+
 def plane_eval(grid_id: str, lon: float, lat: float) -> float:
     a, b, c = GRID_PLANES[grid_id]
     return a * lon + b * lat + c

@@ -39,9 +39,13 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # bigger Arrow batches amortize per-batch Python plumbing in
-        # mapInPandas/applyInPandas (measured 5-10× on this box)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
+        # Arrow batch sizing is a two-sided trade measured on this box:
+        # tiny batches pay per-batch Python plumbing, but BIG batches of
+        # heavy (html/text) columns put gigabytes in flight across the
+        # 32 worker sockets and melt the JVM heap into full-GC storms
+        # (100k-row batches: 5-33 s wall variance on the same job; 8-10k
+        # rows: stable). 10k × ~1 KB rows ≈ 10 MB per batch per worker.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
         # NOT bigger-is-better: oversized local heaps (48g) trigger
         # kernel page-management storms on this box (40-70% sys time,
@@ -49,6 +53,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # The SQL transform strategy fuses 7+ broadcast joins and the
+        # PIP/bilinear math into ONE whole-stage-codegen method that
+        # can exceed HotSpot's 8000-byte JIT ceiling; without this flag
+        # the stage silently runs in the bytecode INTERPRETER (measured
+        # 10× slower: 28 s → 2.9 s on an 8M-row transform).
+        .config("spark.driver.extraJavaOptions", "-XX:-DontCompileHugeMethods")
+        .config("spark.executor.extraJavaOptions", "-XX:-DontCompileHugeMethods")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -53,12 +53,20 @@ def stream_transform_pages(
         out = tx.transform_points(
             batch_df.sparkSession, parsed, from_datum, to_datum, key_col="url"
         )
+        # foreachBatch is only at-least-once: a crash between this
+        # write and the offset commit replays the micro-batch. Keying
+        # the output by batch_id with dynamic-partition overwrite makes
+        # the replay overwrite its own partition instead of appending
+        # duplicates — idempotent, hence exactly-once end to end.
         (
             out.select(
                 "url", "warc_ts", "text", "lang", "x", "y", "z",
                 "cell5", "region_id", "sep", "z_out", "unc", "covered",
             )
-            .write.mode("append")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(out_dir)
         )
 
