@@ -64,3 +64,23 @@ def test_metrics_account_for_every_row(spark, tmp_path):
     # per-partition granularity present
     assert set(m.columns) >= {"run_id", "bucket", "partition_id", "rows_in",
                               "rows_out", "rows_error", "rows_nocoverage"}
+
+
+def test_single_pass_staging_partition_pruned(spark, tmp_path):
+    """The driving table is scanned ONCE (the staging write); every
+    per-bucket read is partition-pruned to its own bucket=N directory
+    — a resumed run never rescans completed data."""
+    out_dir = str(tmp_path / "prune")
+    pts = _points(spark, 200)
+    staged = ck.stage_buckets(spark, pts, out_dir, "runP", "pid", 4)
+    part = staged.filter(F.col("bucket") == 2)
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    # staging is idempotent: second call reuses the materialized dirs
+    import os
+    mtime = os.path.getmtime(f"{out_dir}/stage/runP/_SUCCESS")
+    ck.stage_buckets(spark, pts, out_dir, "runP", "pid", 4)
+    assert os.path.getmtime(f"{out_dir}/stage/runP/_SUCCESS") == mtime
+    # all rows land in exactly one bucket dir each
+    assert staged.count() == 200
+    assert staged.select("bucket").distinct().count() == 4

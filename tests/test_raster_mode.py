@@ -42,8 +42,10 @@ def test_raster_transform_golden(spark):
 
 
 def test_raster_sounding_sign_matrix(spark):
-    """Height vs sounding input (raster.py:356-364): sounding
-    subtracts the sep instead of adding."""
+    """Height vs sounding input (raster.py:356-364): a height band to
+    a height datum is z = +(v + sep); a sounding band to a height
+    datum subtracts the sep AND flips the axis, z = -(v - sep) — both
+    therefore satisfy z_out ∓ value = +sep."""
     vals, cells_df = _raster(spark)
     h = vr.transform_raster_points(
         spark, cells_df, "ellipse", "mllw", input_is_height=True
@@ -51,10 +53,20 @@ def test_raster_sounding_sign_matrix(spark):
     s = vr.transform_raster_points(
         spark, cells_df, "ellipse", "mllw", input_is_height=False
     ).toPandas().sort_values(["row", "col"])
-    # z_h - value = +sep, z_s - value = -sep
-    dh = h.z_out.to_numpy() - h["value"].to_numpy()
-    ds = s.z_out.to_numpy() - s["value"].to_numpy()
-    assert np.allclose(dh, -ds, atol=0.002)
+    # height: z_h = value + sep; sounding: z_s = -(value - sep)
+    sep_h = h.z_out.to_numpy() - h["value"].to_numpy()
+    sep_s = s.z_out.to_numpy() + s["value"].to_numpy()
+    assert np.allclose(sep_h, sep_s, atol=0.002)
+    # and to a DEPTH output, a sounding band keeps its sign: flip=+1,
+    # z = +(value - sep)
+    sd = vr.transform_raster_points(
+        spark, cells_df, "ellipse", "noaa chart datum",
+        input_is_height=False,
+    ).toPandas().sort_values(["row", "col"])
+    # ellipse→chart-datum sep equals ellipse→mllw sep (same step list)
+    assert np.allclose(
+        sd["value"].to_numpy() - sd.z_out.to_numpy(), sep_h, atol=0.002
+    )
 
 
 def test_raster_nodata_passthrough(spark):

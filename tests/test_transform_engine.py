@@ -205,3 +205,55 @@ def test_skew_salting_preserves_results(spark, fixture_points):
         np.nan_to_num(a["z_out"].to_numpy(dtype=float), nan=-9e9),
         np.nan_to_num(b["z_out"].to_numpy(dtype=float), nan=-9e9),
     )
+
+
+@pytest.mark.parametrize("strategy", ["sql", "broadcast"])
+def test_sign_matrix_four_quadrants(spark, fixture_points, strategy):
+    """F4 matrix (reference core.py:397-403 negates a depth INPUT,
+    :441-449 flips a depth OUTPUT; raster.py:356-364 combined form):
+    all four height/depth in × out quadrants, engine vs closed form."""
+    pdf = fixture_points
+    quadrants = [
+        ("ellipse", "mllw"),               # height → height
+        ("ellipse", "noaa chart datum"),   # height → depth
+        ("noaa chart datum", "mllw"),      # depth  → height (identity steps)
+        ("noaa chart datum", "navd88"),    # depth  → height (real pipeline)
+        ("noaa chart datum", "noaa chart datum"),  # depth → depth (null)
+    ]
+    for from_d, to_d in quadrants:
+        out = run_engine(spark, pdf, from_d, to_d, strategy=strategy)
+        if from_d == to_d:
+            # null transform: z passes through, double flip cancels
+            assert np.allclose(
+                out["z_out"].to_numpy(dtype=float),
+                np.round(pdf.set_index("pid")["z"].to_numpy(), 3),
+            ), (from_d, to_d)
+            continue
+        region, z_exp, _ = numpy_oracle(
+            pdf.x.values, pdf.y.values, pdf.z.values, from_d, to_d
+        )
+        got = out["z_out"].to_numpy(dtype=float)
+        assert np.array_equal(
+            np.nan_to_num(got, nan=-9e9), np.nan_to_num(z_exp, nan=-9e9)
+        ), (from_d, to_d)
+
+
+def test_depth_input_hand_checked(spark):
+    """A sounding of 12.3 m below chart datum (positive-down) in region
+    A converts to MLLW height -12.3 (identity steps, single flip) and
+    the CATZOC out-of-coverage unc uses the NEGATED (height) z."""
+    pdf = pd.DataFrame({
+        "pid": [1, 2],
+        "x": [-77.9, -10.0],   # in region A / far outside
+        "y": [33.5, 0.0],
+        "z": [12.3, 12.3],
+    })
+    out = run_engine(
+        spark, pdf, "noaa chart datum", "mllw",
+        allow_points_outside_coverage=True,
+    )
+    assert out.loc[1, "z_out"] == pytest.approx(-12.3, abs=1e-9)
+    # uncovered: z_out = flip_out * flip_in * z = -z
+    assert out.loc[2, "z_out"] == pytest.approx(-12.3, abs=1e-9)
+    # CATZOC over height z = -12.3 (negative) -> 3 - 0.06*(-12.3)
+    assert out.loc[2, "unc"] == pytest.approx(3 + 0.06 * 12.3, abs=1e-9)

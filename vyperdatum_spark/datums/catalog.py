@@ -166,8 +166,8 @@ def transform_closed_form(
     the numpy/pytest oracle (SURVEY.md §5)."""
     r = REGION_BY_ID[region_id]
     steps = pl.compile_steps(from_datum, to_datum, r.region_id, r.geoid)
-    flip = pl.output_flip(to_datum)
+    fin, fout = pl.axis_flips(from_datum, to_datum)
     if steps is None:
-        return flip * z
+        return fout * (fin * z)
     total = sum(sign * plane_eval(g, lon, lat) for g, sign in steps)
-    return flip * (z + total)
+    return fout * (fin * z + total)

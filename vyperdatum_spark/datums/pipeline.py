@@ -173,3 +173,25 @@ def compile_pipeline_string(
 def output_flip(to_datum: str) -> float:
     """-1.0 when the output datum's axis is positive-down."""
     return -1.0 if to_datum.lower() in DEPTH_DATUMS else 1.0
+
+
+def is_height(datum: str) -> bool:
+    """True when the datum's native z axis is positive-UP."""
+    return datum.lower() not in DEPTH_DATUMS
+
+
+def axis_flips(from_datum: str, to_datum: str) -> tuple[float, float]:
+    """(flip_in, flip_out) for the F4 sign matrix.
+
+    Mirrors the reference exactly (core.py:397-403 negates input z for
+    a depth input; :441-449 ``flip = 1 if out_crs.is_height else -1``
+    applied after the pipeline; raster.py:356-364 is the combined
+    ``in.is_height == out.is_height`` form):
+
+        z_out = flip_out * (flip_in * z + sep)
+
+    so a depth→height pair flips once, depth→depth twice (net 0).
+    """
+    flip_in = 1.0 if is_height(from_datum) else -1.0
+    flip_out = 1.0 if is_height(to_datum) else -1.0
+    return flip_in, flip_out

@@ -52,6 +52,32 @@ def completed_buckets(spark: SparkSession, ckpt_dir: str, run_id: str) -> set[in
     return {r["bucket"] for r in rows}
 
 
+def stage_buckets(
+    spark: SparkSession,
+    points: DataFrame,
+    out_dir: str,
+    run_id: str,
+    key_col: str,
+    n_buckets: int,
+) -> DataFrame:
+    """ONE pass over the driving table: hash-bucket and materialize
+    partitioned by bucket. Every later per-bucket read is partition-
+    PRUNED to its own directory — a resumed run never rescans
+    completed data (round 1 filtered ``pmod(xxhash64(...)) = b`` over
+    the raw source per bucket: 1024 buckets ⇒ 1024 full scans of a
+    100-TB table; this is the fix). Idempotent per run_id: an existing
+    staging (with _SUCCESS) is reused."""
+    stage_path = os.path.join(out_dir, "stage", run_id)
+    if not os.path.exists(os.path.join(stage_path, "_SUCCESS")):
+        (
+            points.withColumn("bucket", bucket_col(F.col(key_col), n_buckets))
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(stage_path)
+        )
+    return spark.read.parquet(stage_path)
+
+
 def run_with_checkpoint(
     spark: SparkSession,
     points: DataFrame,
@@ -69,18 +95,26 @@ def run_with_checkpoint(
     fail_after: test hook — raise after committing N buckets (simulated
     crash for the resume-idempotence test, FIXTURES.md §6).
     Returns the number of buckets processed in THIS invocation.
-    """
+
+    Crash-safety contract: data writes are per-bucket overwrite,
+    metrics writes are per-(run_id, bucket) overwrite, and the
+    checkpoint row commits LAST — a crash anywhere in between replays
+    the bucket idempotently (no duplicate data, no double-counted
+    metrics)."""
     ckpt_path = os.path.join(out_dir, "checkpoints")
     metrics_path = os.path.join(out_dir, "metrics")
     data_path = os.path.join(out_dir, "data")
 
     done = completed_buckets(spark, out_dir, run_id)
-    bucketed = points.withColumn("bucket", bucket_col(F.col(key_col), n_buckets))
+    if len(done) >= n_buckets:
+        return 0
+    staged = stage_buckets(spark, points, out_dir, run_id, key_col, n_buckets)
     processed = 0
     for b in range(n_buckets):
         if b in done:
             continue
-        part = bucketed.filter(F.col("bucket") == b).drop("bucket")
+        # partition-pruned: touches only stage/<run_id>/bucket=b
+        part = staged.filter(F.col("bucket") == b).drop("bucket")
         result = transform_fn(spark, part)
         result = result.withColumn("_pid_", F.spark_partition_id())
         result.persist()
@@ -101,8 +135,6 @@ def run_with_checkpoint(
                     F.sum((~F.col("covered")).cast("long")).alias("rows_nocoverage"),
                 )
                 .select(
-                    F.lit(run_id).alias("run_id"),
-                    F.lit(b).alias("bucket"),
                     F.col("_pid_").alias("partition_id"),
                     "rows_in",
                     "rows_out",
@@ -110,8 +142,19 @@ def run_with_checkpoint(
                     "rows_nocoverage",
                 )
             )
-            m.write.mode("append").parquet(metrics_path)
-            rows_out = result.count()
+            # tiny (one row per compute partition): land on the driver
+            # once — the sum replaces a second full pass for count(),
+            # and the write is keyed by (run_id, bucket) dirs with
+            # overwrite so a replayed bucket cannot double-count
+            m_rows = m.collect()
+            rows_out = sum(r["rows_out"] or 0 for r in m_rows)
+            spark.createDataFrame(
+                m_rows,
+                "partition_id int, rows_in long, rows_out long, "
+                "rows_error long, rows_nocoverage long",
+            ).write.mode("overwrite").parquet(
+                os.path.join(metrics_path, f"run_id={run_id}", f"bucket={b}")
+            )
         finally:
             result.unpersist()
         ck = spark.createDataFrame(

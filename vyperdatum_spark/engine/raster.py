@@ -85,7 +85,9 @@ def transform_raster_points(
     Output columns: row, col, x, y, value, region_id, sep, z_out, unc,
     covered. Null `value` cells (nodata) stay null.
     """
-    flip = pl.output_flip(to_datum)
+    # F4 combined form (raster.py:356-364): flip once iff the band's
+    # axis direction differs from the output datum's
+    flip = 1.0 if input_is_height == pl.is_height(to_datum) else -1.0
     out = tx.transform_points(
         spark,
         cells_df,
@@ -113,14 +115,27 @@ def transform_raster_points(
         z_out = F.when(covered, z_cov)
     # nodata passthrough (F3): null value stays null
     out = out.withColumn("z_out", F.when(value.isNotNull(), z_out))
-    if include_uncertainty and "src_unc" in cells_df.columns:
-        # source band unc adds to datum unc (raster.py:367-372);
-        # CATZOC keeps the larger (raster.py:391-396)
-        base_unc = F.col("unc")
-        combined = F.when(
-            covered, base_unc + F.col("src_unc")
-        ).otherwise(F.greatest(base_unc, F.col("src_unc")))
-        out = out.withColumn("unc", F.when(value.isNotNull(), combined))
+    if include_uncertainty:
+        # CATZOC-D over the band's HEIGHT-axis value (raster.py:384-390
+        # negates a sounding band before the 3 − 0.06·z formula) — the
+        # engine's _finalize derived this from from_datum's axis, which
+        # may differ from the band's
+        z_h = value if input_is_height else -value
+        catzoc = F.when(z_h > 0, F.lit(3.0)).otherwise(
+            F.lit(3.0) - F.lit(0.06) * z_h
+        )
+        base_unc = F.when(covered, F.col("unc")).otherwise(
+            catzoc if allow_points_outside_coverage else F.lit(None)
+        )
+        if "src_unc" in cells_df.columns:
+            # source band unc adds to datum unc (raster.py:367-372);
+            # CATZOC keeps the larger (raster.py:391-396)
+            combined = F.when(
+                covered, base_unc + F.col("src_unc")
+            ).otherwise(F.greatest(base_unc, F.col("src_unc")))
+            out = out.withColumn("unc", F.when(value.isNotNull(), combined))
+        else:
+            out = out.withColumn("unc", F.when(value.isNotNull(), base_unc))
     return out
 
 

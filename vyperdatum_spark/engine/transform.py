@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 
 from ..datums import catalog, pipeline as pl
 from ..grids import bilinear, tiler
-from ..spatial import cells, pip
+from ..spatial import cells, crs as hcrs, pip
 
 DEFAULT_N_SALT = 8
 
@@ -379,7 +379,14 @@ def make_region_kernel(
         ys = left["y"].to_numpy(dtype=np.float64)
         inside = pip.contains(polygons[region_id], xs, ys)
         expected = n_steps.get(region_id, 0)
-        if len(right) != expected or expected == 0:
+        if expected == 0:
+            # zero-step (identity) pipeline — datum pairs with equal
+            # step lists but different names (e.g. mllw → 'noaa chart
+            # datum') compile to []; the reference runs the empty PROJ
+            # pipeline as identity, so in-polygon points get sep 0,
+            # NOT out-of-coverage
+            total = np.zeros(len(left))
+        elif len(right) != expected:
             # a step's tile is missing for this cell ⇒ outside grid
             # coverage (PROJ-inf semantics, core.py:445-446)
             total = np.full(len(left), np.nan)
@@ -427,6 +434,8 @@ def transform_points(
     knn_fallback: bool = False,
     n_salt: int = 0,
     strategy: str = "sql",  # "sql" | "broadcast" | "cogroup"
+    input_crs: str = "nad83s",
+    output_frame: str | None = None,
 ) -> DataFrame:
     """Transform ``points[z_col]`` from ``from_datum`` to ``to_datum``.
 
@@ -436,6 +445,20 @@ def transform_points(
       none), sep (applied separation), z_out (rounded 3, null if
       uncovered and not allowed), unc (if requested), covered flag,
       pipeline_str (if include_lineage).
+
+    Horizontal CRS handling (reference core.py:166-248, 437-445):
+      input_crs     — the catalog CRS the x/y (and 3D-frame z) values
+                      are in ('nad83s' geographic default; 'spcs_syn' /
+                      'utm_syn' projected; 'itrfs' foreign frame). A
+                      non-default input adds x_geo/y_geo (geoid-frame
+                      lon/lat) columns; all region/grid math runs on
+                      those.
+      output_frame  — the geodetic frame of the OUTPUT coordinates
+                      (default: the input's frame). When it differs
+                      from both the input frame and the geoid frame,
+                      x_out/y_out are emitted in that frame and z gets
+                      the reference's output-frame correction
+                      ``new_z = new_z - (z - diffz)``.
 
     Strategies:
       sql        — pure-JVM broadcast-join plan (transform_sql.py):
@@ -456,11 +479,63 @@ def transform_points(
         knn_fallback or precedence != "list" or tiles is not None
     ):
         strategy = "broadcast"
-    flip = pl.output_flip(to_datum)
+    # F4 sign matrix: depth-axis INPUT negates z before the pipeline,
+    # depth-axis OUTPUT negates after (core.py:397-403, 441-449)
+    flips = pl.axis_flips(from_datum, to_datum)
     x, y, z = F.col(x_col), F.col(y_col), F.col(z_col)
-    cell = cells.encode_col(x, y, cells.COARSE_RES)
 
+    # ----- horizontal CRS pre-step (core.py:397-403 then :419) -------
+    in_crs = hcrs.validate_crs(input_crs)
+    in_frame = hcrs.CRS_FRAME[in_crs]
+    out_frame = (output_frame or in_frame).upper()
+    if out_frame not in hcrs.FRAMES:
+        raise ValueError(f"output_frame {output_frame!r} not in {hcrs.FRAMES}")
+    # 'output equals input' in the reference's NAME sense: geographic
+    # input whose frame IS the requested output frame
+    out_is_in = (in_crs == "nad83s" and out_frame == "NAD83S") or (
+        in_crs == "itrfs" and out_frame == "ITRFS"
+    )
+    dz_corr = None
+    emit_out_xy = None
+    if in_crs != "nad83s" or out_frame != hcrs.GEOID_FRAME:
+        # depth-axis negation FIRST, then the 3D transform to the
+        # geoid frame (matches the reference's operation order)
+        lon_c, lat_c, zg_c = hcrs.to_geoid_frame_cols(
+            in_crs, x, y, F.lit(flips[0]) * z
+        )
+        points = (
+            points.withColumn("x_geo", lon_c)
+            .withColumn("y_geo", lat_c)
+            .withColumn("_zg", zg_c)
+        )
+        x_col, y_col, z_col = "x_geo", "y_geo", "_zg"
+        x, y, z = F.col(x_col), F.col(y_col), F.col(z_col)
+        flips = (1.0, flips[1])  # input flip folded into _zg
+        if not out_is_in and out_frame != hcrs.GEOID_FRAME:
+            # output-frame z-correction new_z -= (z - diffz): the net
+            # in→out 3D frame shift evaluated at the geoid-frame point
+            dz_corr = F.lit(0.0)
+            if in_frame == "ITRFS":
+                dz_corr = dz_corr + hcrs.frame_dz_cols(x, y)
+            if out_frame == "ITRFS":
+                dz_corr = dz_corr - hcrs.frame_dz_cols(x, y)
+        if out_is_in:
+            emit_out_xy = None  # original x/y already ARE the output
+        elif out_frame == hcrs.GEOID_FRAME:
+            emit_out_xy = (x, y)
+        else:
+            out_crs_name = "nad83s" if out_frame == "NAD83S" else "itrfs"
+            emit_out_xy = hcrs.from_geoid_frame_cols(out_crs_name, x, y)
+
+    cell = cells.encode_col(x, y, cells.COARSE_RES)
     base = points.withColumn("cell5", cell)
+
+    def _emit(df: DataFrame) -> DataFrame:
+        if emit_out_xy is not None:
+            df = df.withColumn("x_out", emit_out_xy[0]).withColumn(
+                "y_out", emit_out_xy[1]
+            )
+        return df.drop("_zg")
 
     null_steps = pl.compile_steps(from_datum, to_datum, "R", "G")
 
@@ -469,13 +544,15 @@ def transform_points(
         out = base.withColumn("region_id", F.lit(None).cast("string"))
         out = out.withColumn("region_ord", F.lit(None).cast("int"))
         out = out.withColumn("sep", F.lit(0.0))
-        out = out.withColumn("z_out", F.round(F.lit(flip) * z, 3))
+        out = out.withColumn(
+            "z_out", F.round(F.lit(flips[1]) * (F.lit(flips[0]) * z), 3)
+        )
         out = out.withColumn("covered", F.lit(True))
         if include_uncertainty:
             out = out.withColumn("unc", F.lit(0.0))
         if include_lineage:
             out = out.withColumn("pipeline_str", F.lit(None).cast("string"))
-        return out
+        return _emit(out)
 
     if strategy == "sql":
         from . import transform_sql
@@ -483,11 +560,11 @@ def transform_points(
         enriched = transform_sql.transform_points_sql(
             spark, base.drop("cell5"), from_datum, to_datum, x_col, y_col
         )
-        return _finalize(
-            enriched, None, spark, from_datum, to_datum, z, flip,
+        return _emit(_finalize(
+            enriched, None, spark, from_datum, to_datum, z, flips,
             allow_points_outside_coverage, include_uncertainty,
-            include_lineage, key_col,
-        )
+            include_lineage, key_col, dz_corr,
+        ))
 
     fixture_tiles = tiles is None
     if tiles is None and strategy == "cogroup":
@@ -536,11 +613,11 @@ def transform_points(
                 T.StructField("sep", T.DoubleType(), True),
             ]
             enriched = base.mapInArrow(kernel, T.StructType(out_fields))
-            return _finalize(
-                enriched, None, spark, from_datum, to_datum, z, flip,
+            return _emit(_finalize(
+                enriched, None, spark, from_datum, to_datum, z, flips,
                 allow_points_outside_coverage, include_uncertainty,
-                include_lineage, key_col,
-            )
+                include_lineage, key_col, dz_corr,
+            ))
         kernel, out_schema = make_broadcast_kernel(
             key_col, key_type, polygons, covers, bc_bundles,
             region_ords, n_steps, knn_fallback, "per_region",
@@ -624,11 +701,11 @@ def transform_points(
             )
         )
 
-    return _finalize(
-        base, winners, spark, from_datum, to_datum, z, flip,
+    return _emit(_finalize(
+        base, winners, spark, from_datum, to_datum, z, flips,
         allow_points_outside_coverage, include_uncertainty,
-        include_lineage, key_col,
-    )
+        include_lineage, key_col, dz_corr,
+    ))
 
 
 def _finalize(
@@ -638,24 +715,27 @@ def _finalize(
     from_datum: str,
     to_datum: str,
     z: Column,
-    flip: float,
+    flips: tuple[float, float],
     allow_points_outside_coverage: bool,
     include_uncertainty: bool,
     include_lineage: bool,
     key_col: str,
+    dz_corr: Column | None = None,
 ) -> DataFrame:
     """Attach winners back to the driving table (no-op for the
     passthrough strategy, which already carries them) and apply the
-    output contracts: F1 coverage, F4 flip, F5 round(3), F6 CATZOC,
-    J6 unc."""
+    output contracts: F1 coverage, F4 flip matrix, F5 round(3),
+    F6 CATZOC, J6 unc, output-frame z-correction (core.py:443-444)."""
     out = base.join(winners, key_col, "left") if winners is not None else base
     # NaN-vs-NULL: Arrow maps pandas NaN to NULL, but guard both
     covered = F.col("sep").isNotNull() & ~F.isnan(F.col("sep"))
-    flipc = F.lit(flip)
-    z_covered = F.round(flipc * (z + F.col("sep")), 3)
+    fin, fout = F.lit(flips[0]), F.lit(flips[1])
+    z_h = fin * z  # input z in height (positive-up) convention
+    corr = dz_corr if dz_corr is not None else F.lit(0.0)
+    z_covered = F.round(fout * (z_h + F.col("sep") + corr), 3)
 
     if allow_points_outside_coverage:
-        z_out = F.when(covered, z_covered).otherwise(F.round(flipc * z, 3))
+        z_out = F.when(covered, z_covered).otherwise(F.round(fout * z_h, 3))
     else:
         z_out = F.when(covered, z_covered)
     out = out.withColumn("z_out", z_out).withColumn("covered", covered)
@@ -664,8 +744,11 @@ def _finalize(
         dim = region_dim_df(spark, from_datum, to_datum)
         out = out.join(F.broadcast(dim.select("region_id", "unc")), "region_id", "left")
         if allow_points_outside_coverage:
-            # F6: CATZOC-D vertical uncertainty (raster.py:380-396)
-            catzoc = F.when(z > 0, F.lit(3.0)).otherwise(F.lit(3.0) - F.lit(0.06) * z)
+            # F6: CATZOC-D vertical uncertainty over the HEIGHT-axis z
+            # (raster.py:384-390 negates a sounding input first)
+            catzoc = F.when(z_h > 0, F.lit(3.0)).otherwise(
+                F.lit(3.0) - F.lit(0.06) * z_h
+            )
             out = out.withColumn("unc", F.when(covered, F.col("unc")).otherwise(catzoc))
         else:
             out = out.withColumn("unc", F.when(covered, F.col("unc")))
@@ -711,7 +794,7 @@ def transform_points_sampled(
     O(distinct cells) pandas work instead of O(points).
     """
     x, y, z = F.col(x_col), F.col(y_col), F.col(z_col)
-    flip = pl.output_flip(to_datum)
+    fin, fout = pl.axis_flips(from_datum, to_datum)
 
     with_cell = points.withColumn("cell_r", cells.encode_col(x, y, res))
     distinct_cells = with_cell.select("cell_r").distinct()
@@ -730,11 +813,17 @@ def transform_points_sampled(
         F.col("region_ord").alias("region_ord"),
         *(["unc"] if "unc" in tc.columns else []),
     )
-    out = with_cell.join(F.broadcast(cell_sep), "cell_r", "left")
+    # no broadcast hint: cell_sep is O(distinct fine cells) of the
+    # input — bounded globally (~2M res-9 cells ≈ 100 MB+) but not
+    # small; AQE broadcasts it when the runtime size allows
+    out = with_cell.join(cell_sep, "cell_r", "left")
     covered = F.col("cell_sep").isNotNull()
     out = (
         out.withColumn("sep", F.col("cell_sep"))
-        .withColumn("z_out", F.when(covered, F.round(F.lit(flip) * (z + F.col("sep")), 3)))
+        .withColumn("z_out", F.when(
+            covered,
+            F.round(F.lit(fout) * (F.lit(fin) * z + F.col("sep")), 3),
+        ))
         .withColumn("covered", covered)
         .drop("cell_sep")
     )

@@ -73,31 +73,24 @@ def decode_image_batches(
                 "present in this container; use deterministic_fake=True"
             )
         n = len(pdf)
-        width = np.empty(n, dtype=np.int32)
-        height = np.empty(n, dtype=np.int32)
-        frames = np.empty(n, dtype=np.int32)
-        lum = np.empty(n, dtype=np.float64)
-        feats = []
-        for i, payload in enumerate(pdf[bin_col]):
-            digest = hashlib.md5(bytes(payload)).digest()
-            width[i] = 16 + digest[0] % 64
-            height[i] = 16 + digest[1] % 64
-            frames[i] = 1 + digest[2] % 4
-            lum[i] = round(digest[3] / 255.0, 6)
-            feats.append(
-                np.frombuffer(digest[4 : 4 + feat_dim], dtype=np.uint8).astype(
-                    np.float32
-                )
-                / 255.0
-            )
+        if n == 0:
+            continue
+        # the per-blob md5 is the codec stand-in (a real decode is
+        # also per-blob); everything DERIVED from it is vectorized —
+        # one digest matrix, numpy column math, no per-row assembly
+        d = np.frombuffer(
+            b"".join(hashlib.md5(bytes(p)).digest() for p in pdf[bin_col]),
+            dtype=np.uint8,
+        ).reshape(n, 16)
+        feat_mat = (d[:, 4:4 + feat_dim].astype(np.float32) / 255.0)
         yield pd.DataFrame(
             {
                 "id": pdf[id_col].to_numpy(),
-                "width": width,
-                "height": height,
-                "n_frames": frames,
-                "mean_lum": lum,
-                "feat": feats,
+                "width": (16 + d[:, 0] % 64).astype(np.int32),
+                "height": (16 + d[:, 1] % 64).astype(np.int32),
+                "n_frames": (1 + d[:, 2] % 4).astype(np.int32),
+                "mean_lum": np.round(d[:, 3] / 255.0, 6),
+                "feat": list(feat_mat),
             }
         )
 

@@ -163,16 +163,25 @@ def fingerprint_df(df: DataFrame, id_col: str = "doc_id",
     document. Materializing `_kg` first makes each slice O(w)."""
     t = F.col(text_col)
     n_k = F.length(t) - (KGRAM - 1)
+    # Spark's sequence(1, 0) yields a DESCENDING [1, 0] (unlike SQL
+    # generate_series, which is empty), and slice() on it raises at
+    # runtime — docs shorter than KGRAM+WINNOW_W-1 chars must fold to
+    # an empty k-gram/window list on BOTH engines (n_fp=0, null
+    # min/max), not crash the query
+    empty = F.array().cast("array<int>")
+    kseq = F.when(n_k >= 1, F.sequence(F.lit(1), n_k)).otherwise(empty)
     kg = df.select(
         F.col(id_col),
         F.transform(
-            F.sequence(F.lit(1), n_k), lambda i: hash60(t.substr(i, F.lit(KGRAM)))
+            kseq, lambda i: hash60(t.substr(i, F.lit(KGRAM)))
         ).alias("_kg"),
     )
+    n_w = F.size(F.col("_kg")) - (WINNOW_W - 1)
+    wseq = F.when(n_w >= 1, F.sequence(F.lit(1), n_w)).otherwise(empty)
     mins = kg.select(
         F.col(id_col),
         F.transform(
-            F.sequence(F.lit(1), F.size(F.col("_kg")) - (WINNOW_W - 1)),
+            wseq,
             lambda j: F.array_min(F.slice(F.col("_kg"), j, WINNOW_W)),
         ).alias("_mins"),
     )

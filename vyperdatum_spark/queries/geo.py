@@ -18,7 +18,8 @@ from pyspark.sql import functions as F
 
 from ..datums import catalog, pipeline as pl
 from ..engine import transform as tx
-from ..spatial import cells
+from ..grids import tiler
+from ..spatial import cells, crs as hcrs
 
 FAMOUS_X = -76.7512345
 FAMOUS_Y = 34.7512345
@@ -94,13 +95,13 @@ def sep_sql_for_region(region_id: str, from_datum: str, to_datum: str,
 
 def z_out_case_sql(from_datum: str, to_datum: str,
                    x: str = "x", y: str = "y", z: str = "z") -> str:
-    flip = pl.output_flip(to_datum)
+    fin, fout = pl.axis_flips(from_datum, to_datum)
     whens = []
     for r in catalog.REGIONS:
         sep = sep_sql_for_region(r.region_id, from_datum, to_datum, x, y)
         whens.append(
             f"WHEN region_id = '{r.region_id}' "
-            f"THEN ROUND({flip!r} * ({z} + {sep}), 3)"
+            f"THEN ROUND({fout!r} * (({fin!r} * {z}) + {sep}), 3)"
         )
     return "CASE " + " ".join(whens) + " ELSE NULL END"
 
@@ -314,6 +315,179 @@ def count_precedence_oracle_sql() -> str:
     )
 
 
+
+# --------------------------------------------------------------------
+# horizontal-CRS, inverse/cross-datum, depth-input, kNN-edge queries
+# --------------------------------------------------------------------
+
+def q_geo_transform_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projected (spcs_syn Plate Carrée) input coordinates: the engine
+    inverse-projects to the geoid frame before the vertical pipeline
+    (reference core.py:166-248; tests/test_core.py:130-155 state
+    plane). The projection is linear, so the DuckDB oracle reproduces
+    the float64 math exactly."""
+    pts = derived_points(spark, sf_dir)
+    px, py = hcrs.from_geoid_frame_cols("spcs_syn", F.col("x"), F.col("y"))
+    proj = pts.select("pid", px.alias("x"), py.alias("y"), "z")
+    out = tx.transform_points(
+        spark, proj, "ellipse", "mllw", key_col="pid", input_crs="spcs_syn"
+    )
+    return out.select("pid", "region_id", "z_out", "unc")
+
+
+def transform_projected_oracle_sql() -> str:
+    fx, fy = hcrs.from_geoid_frame_sql("spcs_syn", "x", "y")
+    rx, ry, _rz = hcrs.to_geoid_frame_sql("spcs_syn", "px", "py", "z")
+    return (
+        f"{_pts_cte()}, proj AS (SELECT pid, {fx} AS px, {fy} AS py, z FROM pts), "
+        f"rec AS (SELECT pid, {rx} AS rx, {ry} AS ry, z FROM proj), "
+        f"assigned AS (SELECT pid, rx, ry, z, "
+        f"{region_case_sql('rx', 'ry')} AS region_id FROM rec) "
+        f"SELECT pid, region_id, "
+        f"{z_out_case_sql('ellipse', 'mllw', 'rx', 'ry', 'z')} AS z_out, "
+        f"{unc_case_sql('mllw')} AS unc FROM assigned"
+    )
+
+
+def q_geo_transform_outframe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differing OUTPUT horizontal frame (ITRFS): x/y re-derived in the
+    output frame and the z-correction ``new_z = new_z - (z - diffz)``
+    applied (reference core.py:437-445)."""
+    pts = derived_points(spark, sf_dir)
+    out = tx.transform_points(
+        spark, pts, "ellipse", "navd88", key_col="pid", output_frame="ITRFS"
+    )
+    return out.select("pid", "region_id", "x_out", "y_out", "z_out")
+
+
+def transform_outframe_oracle_sql() -> str:
+    # engine: dz_corr = 0.0 - frame_dz(x, y); z = round(fout*(fin*z +
+    # sep + corr), 3) with fin=fout=1 for ellipse->navd88
+    dz = hcrs.frame_dz_sql("x", "y")
+    whens = []
+    for r in catalog.REGIONS:
+        sep = sep_sql_for_region(r.region_id, "ellipse", "navd88")
+        whens.append(
+            f"WHEN region_id = '{r.region_id}' "
+            f"THEN ROUND(1.0 * ((1.0 * z) + {sep} + (0.0 - {dz})), 3)"
+        )
+    zcase = "CASE " + " ".join(whens) + " ELSE NULL END"
+    ox, oy = hcrs.from_geoid_frame_sql("itrfs", "x", "y")
+    return (
+        f"{_pts_cte()}, assigned AS ("
+        f"  SELECT pid, x, y, z, {region_case_sql()} AS region_id FROM pts) "
+        f"SELECT pid, region_id, {ox} AS x_out, {oy} AS y_out, "
+        f"{zcase} AS z_out FROM assigned"
+    )
+
+
+def q_geo_transform_inverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse path (mllw→ellipse): the compiler inverts the input-side
+    step list (reference inverse_datum_def, pipeline.py:145-168)."""
+    pts = derived_points(spark, sf_dir)
+    out = tx.transform_points(spark, pts, "mllw", "ellipse", key_col="pid")
+    return out.select("pid", "region_id", "z_out", "unc")
+
+
+def q_geo_transform_mllw_to_mhw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-datum (mllw→mhw): common-prefix elimination leaves the
+    2-step inv-mllw + mhw pipe (reference compare_datums,
+    pipeline.py:116-142; test_vypercrs.py:371-380)."""
+    pts = derived_points(spark, sf_dir)
+    out = tx.transform_points(spark, pts, "mllw", "mhw", key_col="pid")
+    return out.select("pid", "region_id", "z_out", "unc")
+
+
+def q_geo_transform_from_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEPTH-axis input ('noaa chart datum' soundings → navd88): the F4
+    matrix negates input z before the pipeline (reference
+    core.py:397-403)."""
+    pts = derived_points(spark, sf_dir)
+    out = tx.transform_points(
+        spark, pts, "noaa chart datum", "navd88", key_col="pid"
+    )
+    return out.select("pid", "region_id", "z_out", "unc")
+
+
+# ----- J8/W3: kNN fallback at a grid coverage edge -------------------
+# A custom tile set NaN-masks region A's mllw grid east of a node
+# column; query points sit in the NaN strip within one node spacing,
+# so bilinear yields NaN and the kernel falls back to the nearest
+# valid node (reference coverage-edge semantics). Geometry is chosen
+# so the nearest valid node is ALWAYS the L column at the nearest row
+# (strip width 0.039 < spacing 0.05) — closed-form in SQL.
+_KNN_GD = tiler.grid_def_for_region(
+    "RGNAcoast01_8301/mllw.gtx", catalog.REGION_BY_ID["RGNAcoast01_8301"]
+)
+KNN_NODE_LON = _KNN_GD.lon0 + 8 * _KNN_GD.dlon  # valid column (node lon)
+
+
+def _knn_grid_defs():
+    defs = []
+    for gd in tiler.fixture_grid_defs():
+        if gd.grid_id == "RGNAcoast01_8301/mllw.gtx":
+            defs.append(tiler.GridDef(
+                gd.grid_id, gd.lon0, gd.lat0, gd.dlon, gd.dlat, gd.nx,
+                gd.ny, gd.plane,
+                nan_predicate=lambda lon, lat: lon > KNN_NODE_LON + 1e-9,
+            ))
+        else:
+            defs.append(gd)
+    return defs
+
+
+def _knn_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.col("event_id")
+    x = F.lit(KNN_NODE_LON + 0.0005) + ((k * 131) % 39).cast("double") * F.lit(0.001)
+    y = F.lit(33.2005) + ((k * 7919) % 100).cast("double") * F.lit(0.008)
+    return ev.select(k.alias("pid"), x.alias("x"), y.alias("y"),
+                     F.col("value").alias("z"))
+
+
+def _knn_points_sql() -> str:
+    return (
+        "SELECT event_id AS pid, "
+        f"({KNN_NODE_LON + 0.0005!r} + CAST((event_id * 131) % 39 AS DOUBLE) * 0.001) AS x, "
+        f"(33.2005 + CAST((event_id * 7919) % 100 AS DOUBLE) * 0.008) AS y, "
+        "value AS z FROM events"
+    )
+
+
+def q_geo_knn_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _knn_points(spark, sf_dir)
+    tiles = tiler.build_tile_df(spark, _knn_grid_defs())
+    out = tx.transform_points(
+        spark, pts, "ellipse", "mllw", key_col="pid",
+        tiles=tiles, knn_fallback=True,
+    )
+    return out.select("pid", "region_id", "z_out")
+
+
+def knn_edge_oracle_sql() -> str:
+    gd = _KNN_GD
+    region = catalog.REGION_BY_ID["RGNAcoast01_8301"]
+    steps = pl.compile_steps("ellipse", "mllw", region.region_id, region.geoid)
+    # nearest valid node: the L column, nearest lattice row
+    ynode = (
+        f"({gd.lat0!r} + CAST(ROUND((y - {gd.lat0!r}) / {gd.dlat!r}, 0) AS BIGINT)"
+        f" * {gd.dlat!r})"
+    )
+    expr = "0.0"
+    for grid_id, sign in steps:
+        a, b, c = catalog.GRID_PLANES[grid_id]
+        if grid_id == gd.grid_id:  # kNN-filled step: plane at the node
+            v = f"(({a!r}) * {KNN_NODE_LON!r} + ({b!r}) * {ynode} + ({c!r}))"
+        else:
+            v = f"(({a!r}) * x + ({b!r}) * y + ({c!r}))"
+        expr = f"({expr} + {sign!r} * {v})"
+    return (
+        f"WITH pts AS ({_knn_points_sql()}) "
+        f"SELECT pid, '{region.region_id}' AS region_id, "
+        f"ROUND(1.0 * ((1.0 * z) + {expr}), 3) AS z_out FROM pts"
+    )
+
+
 def queries() -> dict:
     return {
         "geo_extent": q_geo_extent,
@@ -330,6 +504,12 @@ def queries() -> dict:
         "geo_pipeline_plans": q_geo_pipeline_plans,
         "geo_version_fingerprint": q_geo_version_fingerprint,
         "geo_count_precedence": q_geo_count_precedence,
+        "geo_transform_projected": q_geo_transform_projected,
+        "geo_transform_outframe": q_geo_transform_outframe,
+        "geo_transform_inverse": q_geo_transform_inverse,
+        "geo_transform_mllw_to_mhw": q_geo_transform_mllw_to_mhw,
+        "geo_transform_from_depth": q_geo_transform_from_depth,
+        "geo_knn_edge": q_geo_knn_edge,
     }
 
 
@@ -393,4 +573,10 @@ def oracle_sql() -> dict:
             + ") AS t(grid_id, a, b, c)"
         ),
         "geo_count_precedence": count_precedence_oracle_sql(),
+        "geo_transform_projected": transform_projected_oracle_sql(),
+        "geo_transform_outframe": transform_outframe_oracle_sql(),
+        "geo_transform_inverse": transform_oracle_sql("mllw", "ellipse"),
+        "geo_transform_mllw_to_mhw": transform_oracle_sql("mllw", "mhw"),
+        "geo_transform_from_depth": transform_oracle_sql("noaa chart datum", "navd88"),
+        "geo_knn_edge": knn_edge_oracle_sql(),
     }

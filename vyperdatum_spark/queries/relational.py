@@ -45,7 +45,10 @@ def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer is 150k rows/sf (multi-GB at scale) — no forced
+        # broadcast; AQE picks the strategy from runtime sizes. Only
+        # nation (25 rows at every sf) is hinted.
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
