@@ -79,5 +79,14 @@ def test_pipeline_string_format():
 
 
 def test_output_flip():
-    assert pl.output_flip("mllw") == 1.0
+    # reference substring axis rule (vypercrs.py:545-552): tidal
+    # datums are ALL depth (golden z_mllw is negative,
+    # vdatum_validation.py:1403-1405); only ellipse/geoid/navd88/tss
+    # are height
+    assert pl.output_flip("mllw") == -1.0
     assert pl.output_flip("noaa chart datum") == -1.0
+    assert pl.output_flip("mhw") == -1.0
+    assert pl.output_flip("navd88") == 1.0
+    assert pl.output_flip("tss") == 1.0
+    assert pl.output_flip("ellipse") == 1.0
+    assert pl.is_height("mllw") is False and pl.is_height("geoid") is True

@@ -31,21 +31,21 @@ def test_raster_transform_golden(spark):
         spark, cells_df, "ellipse", "mllw"
     ).toPandas().sort_values(["row", "col"])
     assert out.covered.all()
-    # every cell in region A; golden = round(value + sep_closed_form, 3)
+    # every cell in region A; transform_closed_form(z=value) carries
+    # the full sign matrix (height band -> depth mllw flips once)
     exp = []
     for _, r in out.iterrows():
-        sep = catalog.transform_closed_form(
-            r.region_id, "ellipse", "mllw", r.x, r.y, 0.0
-        )
-        exp.append(round(r["value"] + sep, 3))
+        exp.append(round(catalog.transform_closed_form(
+            r.region_id, "ellipse", "mllw", r.x, r.y, r["value"]
+        ), 3))
     assert np.allclose(out.z_out.to_numpy(), np.array(exp), atol=1e-9)
 
 
 def test_raster_sounding_sign_matrix(spark):
-    """Height vs sounding input (raster.py:356-364): a height band to
-    a height datum is z = +(v + sep); a sounding band to a height
-    datum subtracts the sep AND flips the axis, z = -(v - sep) — both
-    therefore satisfy z_out ∓ value = +sep."""
+    """Height vs sounding input (raster.py:356-364), with mllw a DEPTH
+    datum (vypercrs.py:545-552): a height band to mllw flips once,
+    z = -(v + sep); a sounding band to mllw keeps its sign,
+    z = +(v - sep) — both therefore satisfy ∓z_out ± value = +sep."""
     vals, cells_df = _raster(spark)
     h = vr.transform_raster_points(
         spark, cells_df, "ellipse", "mllw", input_is_height=True
@@ -53,19 +53,18 @@ def test_raster_sounding_sign_matrix(spark):
     s = vr.transform_raster_points(
         spark, cells_df, "ellipse", "mllw", input_is_height=False
     ).toPandas().sort_values(["row", "col"])
-    # height: z_h = value + sep; sounding: z_s = -(value - sep)
-    sep_h = h.z_out.to_numpy() - h["value"].to_numpy()
-    sep_s = s.z_out.to_numpy() + s["value"].to_numpy()
+    # height: z_h = -(value + sep); sounding: z_s = +(value - sep)
+    sep_h = -h.z_out.to_numpy() - h["value"].to_numpy()
+    sep_s = s["value"].to_numpy() - s.z_out.to_numpy()
     assert np.allclose(sep_h, sep_s, atol=0.002)
-    # and to a DEPTH output, a sounding band keeps its sign: flip=+1,
-    # z = +(value - sep)
-    sd = vr.transform_raster_points(
-        spark, cells_df, "ellipse", "noaa chart datum",
-        input_is_height=False,
+    # to a HEIGHT output (navd88), a height band keeps its sign:
+    # flip=+1, z = +(value + sep_navd88)
+    hh = vr.transform_raster_points(
+        spark, cells_df, "ellipse", "navd88", input_is_height=True
     ).toPandas().sort_values(["row", "col"])
-    # ellipse→chart-datum sep equals ellipse→mllw sep (same step list)
     assert np.allclose(
-        sd["value"].to_numpy() - sd.z_out.to_numpy(), sep_h, atol=0.002
+        hh.z_out.to_numpy() - hh["value"].to_numpy(),
+        hh.sep.to_numpy(), atol=0.002,
     )
 
 
@@ -126,8 +125,11 @@ def test_raster_outside_coverage_catzoc(spark):
         spark, spark.createDataFrame(pdf), "ellipse", "mllw",
         allow_points_outside_coverage=True,
     ).toPandas().set_index("cell_id")
-    assert out.loc[0, "z_out"] == -12.0
+    # height band -> depth mllw: uncovered keeps flip*value (negated);
+    # CATZOC evaluates the height-convention value
+    assert out.loc[0, "z_out"] == 12.0
     assert out.loc[0, "unc"] == 3.0 - 0.06 * (-12.0)
+    assert out.loc[1, "z_out"] == -5.0
     assert out.loc[1, "unc"] == 3.0
 
 

@@ -134,9 +134,20 @@ def test_depth_output_sign_flip(spark):
     pdf = pd.DataFrame(
         {"pid": np.array([0], dtype=np.int64), "x": [-77.5], "y": [34.0], "z": [10.5]}
     )
-    up = run_engine(spark, pdf, "ellipse", "mllw")
-    down = run_engine(spark, pdf, "ellipse", "noaa chart datum")
-    assert np.isclose(down.loc[0, "z_out"], -up.loc[0, "z_out"], atol=1e-9)
+    mllw = run_engine(spark, pdf, "ellipse", "mllw")
+    chart = run_engine(spark, pdf, "ellipse", "noaa chart datum")
+    nav = run_engine(spark, pdf, "ellipse", "navd88")
+    # mllw and its chart alias share steps AND the depth axis
+    assert np.isclose(chart.loc[0, "z_out"], mllw.loc[0, "z_out"], atol=1e-9)
+    # depth output negates: z_out = -(z + sep)
+    sep = mllw.loc[0, "sep"]
+    assert np.isclose(mllw.loc[0, "z_out"], round(-(10.5 + sep), 3), atol=1e-9)
+    # height output does not (±1 rounding quantum: python round() is
+    # half-even, Spark ROUND is half-up, and this point lands on a
+    # .0005 boundary)
+    assert np.isclose(
+        nav.loc[0, "z_out"], round(10.5 + nav.loc[0, "sep"], 3), atol=0.0011
+    )
 
 
 def test_out_of_coverage_passthrough_and_catzoc(spark):
@@ -153,8 +164,10 @@ def test_out_of_coverage_passthrough_and_catzoc(spark):
     out = run_engine(spark, pdf, "ellipse", "mllw",
                      allow_points_outside_coverage=True)
     assert not out["covered"].any()
-    assert out.loc[0, "z_out"] == 10.5 and out.loc[0, "unc"] == 3.0
-    assert out.loc[1, "z_out"] == -5.0 and out.loc[1, "unc"] == 3.0 - 0.06 * (-5.0)
+    # uncovered z keeps flip*z (mllw = depth output => negated);
+    # CATZOC evaluates over the HEIGHT-convention z
+    assert out.loc[0, "z_out"] == -10.5 and out.loc[0, "unc"] == 3.0
+    assert out.loc[1, "z_out"] == 5.0 and out.loc[1, "unc"] == 3.0 - 0.06 * (-5.0)
 
 
 def test_null_transform_identity(spark, fixture_points):
@@ -214,10 +227,12 @@ def test_sign_matrix_four_quadrants(spark, fixture_points, strategy):
     all four height/depth in × out quadrants, engine vs closed form."""
     pdf = fixture_points
     quadrants = [
-        ("ellipse", "mllw"),               # height → height
-        ("ellipse", "noaa chart datum"),   # height → depth
-        ("noaa chart datum", "mllw"),      # depth  → height (identity steps)
+        ("ellipse", "navd88"),             # height → height
+        ("ellipse", "mllw"),               # height → depth (tidal = depth
+                                           # axis, vypercrs.py:545-552)
+        ("mllw", "ellipse"),               # depth  → height
         ("noaa chart datum", "navd88"),    # depth  → height (real pipeline)
+        ("noaa chart datum", "mllw"),      # depth  → depth (identity steps)
         ("noaa chart datum", "noaa chart datum"),  # depth → depth (null)
     ]
     for from_d, to_d in quadrants:
@@ -240,8 +255,9 @@ def test_sign_matrix_four_quadrants(spark, fixture_points, strategy):
 
 def test_depth_input_hand_checked(spark):
     """A sounding of 12.3 m below chart datum (positive-down) in region
-    A converts to MLLW height -12.3 (identity steps, single flip) and
-    the CATZOC out-of-coverage unc uses the NEGATED (height) z."""
+    A passes through to MLLW unchanged (identity steps, both axes
+    depth — double flip cancels), and the CATZOC out-of-coverage unc
+    uses the NEGATED (height-convention) z."""
     pdf = pd.DataFrame({
         "pid": [1, 2],
         "x": [-77.9, -10.0],   # in region A / far outside
@@ -252,8 +268,13 @@ def test_depth_input_hand_checked(spark):
         spark, pdf, "noaa chart datum", "mllw",
         allow_points_outside_coverage=True,
     )
-    assert out.loc[1, "z_out"] == pytest.approx(-12.3, abs=1e-9)
-    # uncovered: z_out = flip_out * flip_in * z = -z
-    assert out.loc[2, "z_out"] == pytest.approx(-12.3, abs=1e-9)
+    assert out.loc[1, "z_out"] == pytest.approx(12.3, abs=1e-9)
+    # uncovered: z_out = flip_out * flip_in * z = z (depth → depth)
+    assert out.loc[2, "z_out"] == pytest.approx(12.3, abs=1e-9)
     # CATZOC over height z = -12.3 (negative) -> 3 - 0.06*(-12.3)
     assert out.loc[2, "unc"] == pytest.approx(3 + 0.06 * 12.3, abs=1e-9)
+    # depth → HEIGHT single-flips: same sounding to navd88 is the
+    # height -12.3 plus the regional geoid pipeline
+    out2 = run_engine(spark, pdf, "noaa chart datum", "navd88")
+    sep = out2.loc[1, "sep"]
+    assert out2.loc[1, "z_out"] == pytest.approx(round(-12.3 + sep, 3), abs=1e-9)

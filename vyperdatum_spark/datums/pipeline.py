@@ -100,10 +100,14 @@ DATUM_DEFINITION: dict[str, tuple[Step, ...]] = {
     ),
 }
 
-# Datums whose native axis is positive-DOWN (depth). Output to one of
-# these flips the sign of z (reference F4: core.py:397-403,449 derives
-# this from the CRS axis direction; EPSG 5866-style depth axes).
-DEPTH_DATUMS: frozenset[str] = frozenset({"noaa chart datum"})
+# Axis direction follows the reference's substring rule
+# (vypercrs.py:545-552): ellipse → ellipsoid height (up); geoid /
+# navd88 / tss → gravity-related height (up); EVERY OTHER datum
+# (mllw, mhw, mtl, dtl, mlw, mhhw, the chart aliases) → depth
+# (positive-DOWN). The golden data confirms it: z_nad83 = +10.5 maps
+# to z_mllw = −49.393 (vdatum_validation.py:1403-1405) — tidal outputs
+# are sign-flipped.
+HEIGHT_DATUM_MARKERS: tuple[str, ...] = ("ellipse", "geoid", "navd88", "tss")
 
 
 def validate_datums(*datums: str) -> None:
@@ -172,12 +176,14 @@ def compile_pipeline_string(
 
 def output_flip(to_datum: str) -> float:
     """-1.0 when the output datum's axis is positive-down."""
-    return -1.0 if to_datum.lower() in DEPTH_DATUMS else 1.0
+    return 1.0 if is_height(to_datum) else -1.0
 
 
 def is_height(datum: str) -> bool:
-    """True when the datum's native z axis is positive-UP."""
-    return datum.lower() not in DEPTH_DATUMS
+    """True when the datum's native z axis is positive-UP — the
+    reference's substring rule (vypercrs.py:545-552)."""
+    d = datum.lower()
+    return (not d) or any(k in d for k in HEIGHT_DATUM_MARKERS)
 
 
 def axis_flips(from_datum: str, to_datum: str) -> tuple[float, float]:

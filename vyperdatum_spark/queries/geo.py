@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..datums import catalog, pipeline as pl
+from ..datums import catalog, pipeline as pl, vypercrs
 from ..engine import transform as tx
 from ..grids import tiler
 from ..spatial import cells, crs as hcrs
@@ -253,15 +253,20 @@ def sampled_oracle_sql() -> str:
 
 
 def catzoc_oracle_sql() -> str:
+    fin, fout = pl.axis_flips("ellipse", "mllw")
     zc = z_out_case_sql("ellipse", "mllw")
     uc = unc_case_sql("mllw")
+    # uncovered z keeps flip_out*(flip_in*z); CATZOC evaluates the
+    # height-convention z (raster.py:384-390)
+    zh = f"({fin!r} * z)"
     return (
         f"{_pts_cte()}, assigned AS ("
         f"  SELECT pid, x, y, z, {region_case_sql()} AS region_id FROM pts) "
         f"SELECT pid, region_id, "
-        f"CASE WHEN region_id IS NOT NULL THEN {zc} ELSE ROUND(1.0 * z, 3) END AS z_out, "
+        f"CASE WHEN region_id IS NOT NULL THEN {zc} "
+        f"ELSE ROUND({fout!r} * {zh}, 3) END AS z_out, "
         f"CASE WHEN region_id IS NOT NULL THEN {uc} "
-        f"     WHEN z > 0 THEN 3.0 ELSE 3.0 - 0.06 * z END AS unc "
+        f"     WHEN {zh} > 0 THEN 3.0 ELSE 3.0 - 0.06 * {zh} END AS unc "
         f"FROM assigned"
     )
 
@@ -481,10 +486,50 @@ def knn_edge_oracle_sql() -> str:
         else:
             v = f"(({a!r}) * x + ({b!r}) * y + ({c!r}))"
         expr = f"({expr} + {sign!r} * {v})"
+    fin, fout = pl.axis_flips("ellipse", "mllw")
     return (
         f"WITH pts AS ({_knn_points_sql()}) "
         f"SELECT pid, '{region.region_id}' AS region_id, "
-        f"ROUND(1.0 * ((1.0 * z) + {expr}), 3) AS z_out FROM pts"
+        f"ROUND({fout!r} * (({fin!r} * z) + {expr}), 3) AS z_out FROM pts"
+    )
+
+
+
+def q_geo_lineage_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound-WKT lineage round trip (reference vypercrs.py:528-663
+    build, :403-445 parse, tests/test_core.py:186-199): build the
+    transform's output CRS WKT, parse it BACK, and emit the recovered
+    per-region lineage — if any remark field fails to round-trip the
+    rows (and the oracle hash) change."""
+    wkt = vypercrs.lineage_wkt("ellipse", "mllw")
+    assert vypercrs.is_valid_vert_wkt(wkt)
+    parsed = vypercrs.parse_vert_wkt(wkt)
+    rows = [
+        (rid, pipe, parsed["datum_name"], parsed["vdatum_version"],
+         parsed["base_datum"], bool(parsed["is_height"]))
+        for rid, pipe in zip(parsed["regions"], parsed["pipelines"])
+    ]
+    return spark.createDataFrame(
+        rows,
+        "region_id string, pipeline_str string, datum_name string, "
+        "vdatum_version string, base_datum string, is_height boolean",
+    )
+
+
+def lineage_wkt_oracle_sql() -> str:
+    # independent expectation: pipelines from the compiler, version
+    # from the known-release table — NOT via the WKT round trip
+    rows = ", ".join(
+        "('{}', '{}', 'mllw', '{}', 'nad83s', FALSE)".format(
+            r.region_id,
+            pl.compile_pipeline_string("ellipse", "mllw", r.region_id, r.geoid),
+            vypercrs.detect_vdatum_version(),
+        )
+        for r in catalog.REGIONS
+    )
+    return (
+        f"SELECT * FROM (VALUES {rows}) AS t(region_id, pipeline_str, "
+        "datum_name, vdatum_version, base_datum, is_height)"
     )
 
 
@@ -510,6 +555,7 @@ def queries() -> dict:
         "geo_transform_mllw_to_mhw": q_geo_transform_mllw_to_mhw,
         "geo_transform_from_depth": q_geo_transform_from_depth,
         "geo_knn_edge": q_geo_knn_edge,
+        "geo_lineage_wkt": q_geo_lineage_wkt,
     }
 
 
@@ -579,4 +625,5 @@ def oracle_sql() -> dict:
         "geo_transform_mllw_to_mhw": transform_oracle_sql("mllw", "mhw"),
         "geo_transform_from_depth": transform_oracle_sql("noaa chart datum", "navd88"),
         "geo_knn_edge": knn_edge_oracle_sql(),
+        "geo_lineage_wkt": lineage_wkt_oracle_sql(),
     }
