@@ -1,0 +1,91 @@
+"""Runtime region registration (reference core.py:671-764, 972-996)
+and datum-spec resolution (vypercrs.py:685-812)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from vyperdatum_spark.datums import catalog, pipeline as pl, resolve, vypercrs
+from vyperdatum_spark.engine import transform as tx
+
+
+@pytest.fixture
+def clean_catalog():
+    yield
+    catalog.reset_catalog()
+
+
+def _pts(spark, xs, ys, z=10.0):
+    pdf = pd.DataFrame({
+        "pid": np.arange(len(xs), dtype=np.int64),
+        "x": xs, "y": ys, "z": np.full(len(xs), z),
+    })
+    return spark.createDataFrame(pdf)
+
+
+def test_register_region_participates_in_precedence(spark, clean_catalog):
+    v0 = catalog.catalog_version()
+    rid = "RGNDnew01_8301"
+    catalog.register_regions_from_config({"regions": [{
+        "region_id": rid,
+        "region_ord": 3,  # highest -> wins W1 where it overlaps
+        "polygon": [[-77.9005, 33.1005], [-77.1005, 33.1005],
+                    [-77.1005, 33.9005], [-77.9005, 33.9005]],
+        "geoid": "core/geoid12b/gsynthd.gtx",
+        "planes": {
+            "core/geoid12b/gsynthd.gtx": [0.011, -0.017, -34.2],
+            f"{rid}/tss.gtx": [0.002, 0.003, 0.15],
+            f"{rid}/mllw.gtx": [-0.001, 0.002, -0.7],
+        },
+        "sigmas": {"geoid": 0.02, "tss": 0.03, "mllw": 0.04},
+    }]})
+    assert catalog.catalog_version() > v0
+    # inside D (and A): D has higher ord -> wins; outside D -> A
+    out = tx.transform_points(
+        spark, _pts(spark, [-77.5, -77.95], [33.5, 33.5]),
+        "ellipse", "mllw",
+    ).toPandas().set_index("pid")
+    assert out.loc[0, "region_id"] == rid
+    assert out.loc[1, "region_id"] == "RGNAcoast01_8301"
+    # the new region's sigma dimension participates too
+    assert out.loc[0, "unc"] == pytest.approx(0.02 + 0.03 + 0.04)
+    # closed form agrees (plane grids exact after round)
+    exp = catalog.transform_closed_form(rid, "ellipse", "mllw", -77.5, 33.5, 10.0)
+    assert out.loc[0, "z_out"] == pytest.approx(round(exp, 3), abs=1e-9)
+
+
+def test_register_rejects_duplicates_and_foreign_grids(clean_catalog):
+    r = catalog.REGIONS[0]
+    with pytest.raises(ValueError, match="already registered"):
+        catalog.register_region(r, {}, {})
+    new = catalog.Region("RGNEx01_8301", 9, r.polygon, "core/geoid12b/gsynthe.gtx")
+    with pytest.raises(ValueError, match="not owned"):
+        catalog.register_region(
+            new, {"RGNAcoast01_8301/tss.gtx": (0, 0, 0)}, {})
+
+
+def test_resolve_epsg_tuple_wkt():
+    assert resolve.resolve(6319) == ("nad83s", "ellipse")
+    assert resolve.resolve(5866) == (None, "mllw")
+    assert resolve.resolve((26919, "mllw")) == ("utm_syn", "mllw")
+    assert resolve.resolve((2264, 5703)) == ("spcs_syn", "navd88")
+    wkt = vypercrs.lineage_wkt("ellipse", "mllw")
+    horiz, vert = resolve.resolve(wkt)
+    assert (horiz, vert) == ("nad83s", "mllw")
+    with pytest.raises(ValueError, match="alias table"):
+        resolve.resolve(4326)
+    with pytest.raises(ValueError, match="no vertical"):
+        resolve.resolve_vertical(6318, "input")
+
+
+def test_transform_accepts_epsg_and_tuple(spark):
+    pts = _pts(spark, [-77.5], [34.0])
+    by_name = tx.transform_points(spark, pts, "ellipse", "mllw").toPandas()
+    by_epsg = tx.transform_points(spark, pts, 6319, 5866).toPandas()
+    assert by_epsg.loc[0, "z_out"] == by_name.loc[0, "z_out"]
+    # tuple with projected horizontal: same point given in projected coords
+    from vyperdatum_spark.spatial import crs as hcrs
+    px, py = hcrs.from_geoid_frame_np("spcs_syn", [-77.5], [34.0])
+    ppts = _pts(spark, px, py)
+    by_tuple = tx.transform_points(spark, ppts, (2264, "ellipse"), 5866).toPandas()
+    assert by_tuple.loc[0, "z_out"] == by_name.loc[0, "z_out"]

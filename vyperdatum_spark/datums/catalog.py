@@ -122,9 +122,71 @@ ZERO_UNC_DATUMS = frozenset({"ellipse", "geoid", "navd88"})
 # registration); keys the driver-side grid-payload cache.
 _CATALOG_VERSION = 0
 
+_BUILTIN = (REGIONS, dict(GRID_PLANES), {k: dict(v) for k, v in SIGMAS.items()})
+
 
 def catalog_version() -> int:
     return _CATALOG_VERSION
+
+
+def register_region(
+    region: Region,
+    planes: dict[str, tuple[float, float, float]],
+    sigmas: dict[str, float],
+) -> None:
+    """Runtime region registration — the analog of the reference's
+    custom/extended region ingestion (core.py:671-764 region dirs,
+    :972-996 ``read_regional_config``): a new region, its grid planes
+    (geoid + per-datum) and its sigma row join the catalog and
+    participate in covers, precedence and the payload caches (which
+    key on catalog_version and therefore invalidate)."""
+    global REGIONS, _CATALOG_VERSION
+    if region.region_id in REGION_BY_ID:
+        raise ValueError(f"region {region.region_id!r} already registered")
+    missing = [g for g in planes if not (
+        g == region.geoid or g.startswith(region.region_id + "/"))]
+    if missing:
+        raise ValueError(f"grid ids not owned by {region.region_id!r}: {missing}")
+    REGIONS = tuple(sorted((*REGIONS, region), key=lambda r: r.region_ord))
+    REGION_BY_ID[region.region_id] = region
+    GRID_PLANES.update(planes)
+    SIGMAS[region.region_id] = dict(sigmas)
+    _CATALOG_VERSION += 1
+
+
+def register_regions_from_config(config: dict) -> None:
+    """Ingest regions from a parsed config mapping (the reference's
+    ``.config`` file shape re-expressed as data):
+
+        {"regions": [{"region_id", "region_ord", "polygon", "geoid",
+                      "planes": {grid_id: [a, b, c]},
+                      "sigmas": {datum: sigma}}]}
+    """
+    for spec in config.get("regions", []):
+        region = Region(
+            spec["region_id"],
+            int(spec["region_ord"]),
+            tuple((float(x), float(y)) for x, y in spec["polygon"]),
+            spec["geoid"],
+        )
+        planes = {g: tuple(float(v) for v in abc)
+                  for g, abc in spec["planes"].items()}
+        sigmas = {d: float(s) for d, s in spec["sigmas"].items()}
+        register_region(region, planes, sigmas)
+
+
+def reset_catalog() -> None:
+    """Drop runtime registrations, restore the built-in fixture set
+    (test hook)."""
+    global REGIONS, _CATALOG_VERSION
+    REGIONS = _BUILTIN[0]
+    REGION_BY_ID.clear()
+    REGION_BY_ID.update({r.region_id: r for r in REGIONS})
+    GRID_PLANES.clear()
+    GRID_PLANES.update(_BUILTIN[1])
+    SIGMAS.clear()
+    SIGMAS.update({k: dict(v) for k, v in _BUILTIN[2].items()})
+    _CATALOG_VERSION += 1
 
 
 def plane_eval(grid_id: str, lon: float, lat: float) -> float:

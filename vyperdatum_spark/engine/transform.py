@@ -475,6 +475,23 @@ def transform_points(
         raise ValueError(
             f"strategy {strategy!r} not one of ('sql', 'broadcast', 'cogroup')"
         )
+    # datum specs may be EPSG ints, WKT, (horizontal, vertical) tuples
+    # or names (reference vypercrs.py:685-812); a horizontal component
+    # on the input side sets input_crs, on the output side the frame
+    if not isinstance(from_datum, str) or from_datum.lower() not in pl.DATUM_DEFINITION:
+        from ..datums import resolve as _resolve
+
+        from_datum, in_horiz = _resolve.resolve_vertical(from_datum, "input")
+        if in_horiz is not None and input_crs == "nad83s":
+            input_crs = in_horiz
+    if not isinstance(to_datum, str) or to_datum.lower() not in pl.DATUM_DEFINITION:
+        from ..datums import resolve as _resolve
+
+        to_datum, out_horiz = _resolve.resolve_vertical(to_datum, "output")
+        if out_horiz is not None and output_frame is None:
+            from ..spatial import crs as _hc
+
+            output_frame = _hc.CRS_FRAME[out_horiz]
     if strategy == "sql" and (
         knn_fallback or precedence != "list" or tiles is not None
     ):

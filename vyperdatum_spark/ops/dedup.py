@@ -218,7 +218,17 @@ def minhash_lsh_pairs_sql(table: str = "documents", id_col: str = "doc_id",
 
 
 # -------------------------------------------------------------- simhash
-N_SIMHASH_BITS = 16
+# 60 bits (the full width of the md5-derived 60-bit token hashes).
+# Round 1 used 16-bit simhash with exact-equality grouping — at 10^12
+# docs that is 65,536 buckets ⇒ giant collision groups; production
+# simhash dedup needs the wide hash + Hamming-distance banding below.
+N_SIMHASH_BITS = 60
+# Hamming LSH: split the 60 bits into 4 bands of 15; by pigeonhole any
+# pair within Hamming distance 3 shares at least one untouched band,
+# so the band equi-join has FULL recall for d ≤ 3 and each band bucket
+# stays selective (2^15 values) — the standard 64-bit/4-table layout.
+N_SIMHASH_BANDS = 4
+SIMHASH_MAX_HAMMING = 3
 
 
 def simhash_from_hashes(hashes: Column, bits: int = N_SIMHASH_BITS) -> Column:
@@ -276,6 +286,79 @@ def simhash_groups_sql(table: str = "documents", id_col: str = "doc_id",
         f"SELECT {simhash_sql(text_col)} AS simhash, COUNT(*) AS n_docs, "
         f"MIN({id_col}) AS min_doc_id FROM {table} "
         f"GROUP BY 1 HAVING COUNT(*) > 1"
+    )
+
+
+def simhash_hamming_pairs(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance: band the 60-bit
+    hash into 4×15-bit keys, equi-join per band (bucketed LSH, never
+    all-pairs), then verify the exact popcount on candidates only.
+
+    Scale shape: one shuffle on (band_idx, band_val); candidate volume
+    is bounded by band-bucket selectivity (2^15 values per band), and
+    the exact xor/bit_count verify touches candidates, not the corpus.
+    """
+    bits_per = N_SIMHASH_BITS // N_SIMHASH_BANDS
+    sig = simhash_df(df, id_col, text_col)
+    bands = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftright(F.col("simhash"), b * bits_per)
+                .bitwiseAND(F.lit((1 << bits_per) - 1)).alias("band_val"),
+            )
+            for b in range(N_SIMHASH_BANDS)
+        ])).alias("bk"),
+    ).select(id_col, "simhash", "bk.band_idx", "bk.band_val")
+    left = bands.alias("l")
+    right = bands.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    dist = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", dist.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash_hamming_pairs_sql(table: str = "documents",
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              max_hamming: int = SIMHASH_MAX_HAMMING) -> str:
+    bits_per = N_SIMHASH_BITS // N_SIMHASH_BANDS
+    band_structs = ", ".join(
+        f"{{'band_idx': {b}, 'band_val': (sh >> {b * bits_per})"
+        f" & {(1 << bits_per) - 1}}}"
+        for b in range(N_SIMHASH_BANDS)
+    )
+    return (
+        f"WITH sig AS (SELECT {id_col}, {simhash_sql(text_col)} AS sh FROM {table}), "
+        f"bands AS (SELECT {id_col}, sh, "
+        f"unnest([{band_structs}], recursive := true) FROM sig), "
+        f"cand AS (SELECT DISTINCT l.{id_col} AS doc_a, r.{id_col} AS doc_b, "
+        f"l.sh AS sh_a, r.sh AS sh_b "
+        f"FROM bands l JOIN bands r USING (band_idx, band_val) "
+        f"WHERE l.{id_col} < r.{id_col}) "
+        f"SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming "
+        f"FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}"
     )
 
 

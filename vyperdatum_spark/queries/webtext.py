@@ -40,6 +40,9 @@ def queries() -> dict:
         "dedup_exact": lambda s, d: dedup.exact_duplicates(_docs_with_dups(s, d)),
         "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
         "dedup_simhash": lambda s, d: dedup.simhash_groups(_docs(s, d)),
+        "dedup_simhash_hamming": lambda s, d: dedup.simhash_hamming_pairs(
+            _docs_with_dups(s, d)
+        ),
         "dedup_ngram_jaccard": lambda s, d: dedup.jaccard_pairs(
             _docs(s, d), threshold=0.5
         ),
@@ -65,6 +68,7 @@ def oracle_sql() -> dict:
         "dedup_exact": dedup.exact_duplicates_sql(table=DUPS_SQL),
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs_sql(),
         "dedup_simhash": dedup.simhash_groups_sql(),
+        "dedup_simhash_hamming": dedup.simhash_hamming_pairs_sql(table=DUPS_SQL),
         "dedup_ngram_jaccard": dedup.jaccard_pairs_sql(threshold=0.5),
         "dedup_lsh_verified": dedup.lsh_verified_pairs_sql(threshold=0.5),
         "dedup_embedding_cosine": similarity.cosine_dup_pairs_sql(threshold=0.35),
