@@ -76,3 +76,49 @@ def test_catalog_version_fingerprint_stable():
     assert v1 == v2 and len(v1) == 32
     rows = sinks.catalog_version_rows()
     assert len(rows) == 24 and all(len(h) == 32 for _, h in rows)
+
+
+def test_stream_windowed_counts_watermark(spark, tmp_path):
+    """Watermarked hourly window agg (append mode): windows emit once
+    finalized; a second batch advancing event time flushes the earlier
+    windows exactly once."""
+    from vyperdatum_spark.streaming import windows
+
+    in_dir = str(tmp_path / "win_in")
+    out_dir = str(tmp_path / "win_out")
+    ck_dir = str(tmp_path / "win_ck")
+    os.makedirs(in_dir)
+
+    # batch 1: pages spanning hours 0..n (warc_ts = 2024-01-01 + i sec)
+    datagen.pages_pdf(7200, seed=3).to_parquet(
+        f"{in_dir}/b1.parquet", coerce_timestamps="us"
+    )
+    windows.stream_hourly_counts(spark, in_dir, out_dir, ck_dir)
+    # the watermark only ADVANCES when a batch completes, so a
+    # single-batch run finalizes nothing yet — append mode holds the
+    # open windows in state
+    first = spark.read.parquet(out_dir)
+    n1 = first.count()
+    assert n1 == 0
+
+    # batch 2: later pages advance the watermark -> earlier windows
+    # flush exactly once
+    pdf2 = datagen.pages_pdf(3600, seed=4)
+    pdf2["warc_ts"] = pdf2["warc_ts"] + pd.Timedelta(hours=2)
+    pdf2.to_parquet(f"{in_dir}/b2.parquet", coerce_timestamps="us")
+    windows.stream_hourly_counts(spark, in_dir, out_dir, ck_dir)
+    second = spark.read.parquet(out_dir)
+    assert second.count() > n1
+    # only windows the watermark passed are present (hour 0; the
+    # rest remain open in state)
+    assert second.agg(F.max("window_end")).collect()[0][0].hour <= 2
+    # no window/lang pair emitted twice (append-mode exactly-once)
+    dups = (
+        second.groupBy("window_start", "lang").count().filter("count > 1").count()
+    )
+    assert dups == 0
+    # counts are exact per finalized window: hour 0 has 3600 pages,
+    # 4 langs uniformly -> 900 each
+    h0 = second.filter(F.col("window_start") == pd.Timestamp("2024-01-01"))
+    got = {r["lang"]: r["n_pages"] for r in h0.collect()}
+    assert got == {"en": 900, "es": 900, "de": 900, "fr": 900}

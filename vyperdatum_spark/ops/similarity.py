@@ -181,6 +181,130 @@ def ann_lsh_topk_sql(table: str = "embeddings", id_col: str = "vec_id",
     )
 
 
+# ------------------------------------------------------------------ ivf
+# Deterministic seeded centroids (a production IVF trains these with
+# k-means; a fixed codebook keeps the oracle exact and the plumbing —
+# assignment, inverted lists, multi-probe — identical).
+N_CENTROIDS = 16
+N_PROBE = 2
+
+
+def _centroids(dim: int = EMB_DIM, n: int = N_CENTROIDS, seed: int = 11):
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n, dim)).round(6)
+    return c
+
+
+CENTROIDS = _centroids()
+CENTROID_NORMS = [float(np.sqrt((c * c).sum())) for c in CENTROIDS]
+
+
+def centroid_cos_array_col(emb: Column, nrm: Column) -> Column:
+    """array<double> of cosine(emb, centroid_i) — literal column math."""
+    cols = []
+    for i, cent in enumerate(CENTROIDS):
+        dot = F.lit(0.0)
+        for j, wgt in enumerate(cent):
+            dot = dot + F.lit(float(wgt)) * F.element_at(emb, j + 1).cast("double")
+        cols.append(dot / (nrm * F.lit(CENTROID_NORMS[i])))
+    return F.array(*cols)
+
+
+def centroid_cos_array_sql(emb: str, nrm: str) -> str:
+    parts = []
+    for i, cent in enumerate(CENTROIDS):
+        dot = " + ".join(
+            f"{float(w)!r} * CAST({emb}[{j + 1}] AS DOUBLE)"
+            for j, w in enumerate(cent)
+        )
+        parts.append(f"((0.0 + {dot}) / ({nrm} * {CENTROID_NORMS[i]!r}))")
+    return "[" + ", ".join(parts) + "]"
+
+
+def ann_ivf_topk(df: DataFrame, id_col: str = "vec_id",
+                 emb_col: str = "embedding",
+                 n_queries: int = 10, k: int = 3,
+                 nprobe: int = N_PROBE) -> DataFrame:
+    """IVF approximate top-k: vectors land in the inverted list of
+    their nearest centroid; a query probes its ``nprobe`` closest
+    lists; exact cosine only within the probed lists.
+
+    Scale shape: assignment is one codegen pass; the probe join is a
+    (centroid_id) equi-join — candidates per query ≈ nprobe/C of the
+    corpus, never all-pairs; raising nprobe trades cost for recall.
+    """
+    nrm = norm_col(F.col(emb_col))
+    base = df.select(
+        F.col(id_col), F.col(emb_col), nrm.alias("nrm"),
+        centroid_cos_array_col(F.col(emb_col), nrm).alias("_ca"),
+    ).select(
+        id_col, emb_col, "nrm", "_ca",
+        F.array_position(F.col("_ca"), F.array_max(F.col("_ca")))
+        .cast("int").alias("cell"),
+    )
+    q = base.filter(F.col(id_col) < n_queries)
+    probes = (
+        q.select(
+            F.col(id_col).alias("query_id"),
+            F.col(emb_col).alias("q_emb"),
+            F.col("nrm").alias("q_norm"),
+            F.posexplode(F.col("_ca")).alias("cidx0", "ccos"),
+        )
+        .withColumn("cidx", F.col("cidx0") + 1)
+        .withColumn("prk", F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("ccos").desc(), F.col("cidx"))))
+        .filter(F.col("prk") <= nprobe)
+        .select("query_id", "q_emb", "q_norm", F.col("cidx").alias("cell"))
+    )
+    c = base.select(
+        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("c_emb"),
+        F.col("nrm").alias("c_norm"), "cell",
+    )
+    joined = probes.join(c, "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    cos = dot_col(F.col("q_emb"), F.col("c_emb")) / (
+        F.col("q_norm") * F.col("c_norm")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        joined.select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos_r"))
+    )
+
+
+def ann_ivf_topk_sql(table: str = "embeddings", id_col: str = "vec_id",
+                     emb_col: str = "embedding",
+                     n_queries: int = 10, k: int = 3,
+                     nprobe: int = N_PROBE) -> str:
+    nrm = f"sqrt({dot_sql(emb_col, emb_col)})"
+    ca = centroid_cos_array_sql(emb_col, nrm)
+    cos = cosine_sql("p.q_emb", "c.c_emb")
+    return (
+        f"WITH base AS (SELECT {id_col}, {emb_col}, {ca} AS ca FROM {table}), "
+        f"assigned AS (SELECT {id_col}, {emb_col}, "
+        f"CAST(list_position(ca, list_max(ca)) AS INT) AS cell, ca FROM base), "
+        f"qp AS (SELECT {id_col} AS query_id, {emb_col} AS q_emb, "
+        f"u.cidx AS cell, ROW_NUMBER() OVER (PARTITION BY {id_col} "
+        f"ORDER BY u.ccos DESC, u.cidx) AS prk "
+        f"FROM assigned, LATERAL (SELECT unnest(ca) AS ccos, "
+        f"unnest(generate_series(1, {N_CENTROIDS})) AS cidx) u "
+        f"WHERE {id_col} < {n_queries}), "
+        f"p AS (SELECT query_id, q_emb, cell FROM qp WHERE prk <= {nprobe}), "
+        f"c AS (SELECT {id_col} AS neighbor_id, {emb_col} AS c_emb, cell FROM assigned), "
+        f"scored AS (SELECT query_id, neighbor_id, {cos} AS cos, "
+        f"ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY {cos} DESC, neighbor_id) AS rank "
+        f"FROM p JOIN c USING (cell) WHERE neighbor_id <> query_id) "
+        f"SELECT query_id, neighbor_id, rank, ROUND(cos, 6) AS cos_r "
+        f"FROM scored WHERE rank <= {k}"
+    )
+
+
 # --------------------------------------------- embedding near-dup pairs
 def cosine_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                      emb_col: str = "embedding", label_col: str = "label",

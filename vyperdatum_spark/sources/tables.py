@@ -1,0 +1,126 @@
+"""Table storage abstraction: snapshot-versioned tables on parquet.
+
+The north_rule's storage model is Iceberg (snapshots, time travel,
+checkpoint anti-joins). This sandbox has no Iceberg runtime jars, so
+the engine programs against THIS interface instead of raw paths; the
+parquet implementation provides honest snapshot semantics with
+Iceberg's core mechanics re-expressed minimally:
+
+- every commit is a new immutable SNAPSHOT manifest listing the data
+  directories it comprises;
+- ``append`` commits a manifest referencing the previous snapshot's
+  dirs plus one new dir — no data rewrite, O(1) metadata, exactly how
+  Iceberg fast-appends work;
+- ``overwrite`` commits a manifest referencing only the new dir (old
+  data dirs stay on disk for time travel);
+- reads resolve a snapshot id (default: current) to its dir list —
+  time travel is just reading an older manifest.
+
+On a cluster with Iceberg configured, ``fmt='iceberg'`` would route to
+``df.writeTo(name)`` / ``spark.read.table(name)`` with ``VERSION AS
+OF``; the call sites don't change. Manifest writes are atomic via
+os.replace (rename) — the same single-pointer commit Iceberg relies on.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST = "_snapshots.json"
+
+
+def _load(table_dir: str) -> dict:
+    p = os.path.join(table_dir, _MANIFEST)
+    if not os.path.exists(p):
+        return {"current": None, "snapshots": []}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _commit(table_dir: str, meta: dict) -> None:
+    tmp = os.path.join(table_dir, f"{_MANIFEST}.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(table_dir, _MANIFEST))  # atomic commit
+
+
+def write_table(
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+) -> int:
+    """Commit ``df`` as a new snapshot; returns the snapshot id."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode {mode!r} not in ('overwrite', 'append')")
+    os.makedirs(table_dir, exist_ok=True)
+    meta = _load(table_dir)
+    snap_id = (meta["current"] or 0) + 1
+    data_dir = f"data-{snap_id:05d}-{uuid.uuid4().hex[:8]}"
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(os.path.join(table_dir, data_dir))
+
+    if mode == "append" and meta["current"] is not None:
+        prev = snapshot_meta(table_dir, meta["current"])
+        dirs = [*prev["dirs"], data_dir]
+    else:
+        dirs = [data_dir]
+    meta["snapshots"].append({
+        "id": snap_id,
+        "ts": time.time(),
+        "mode": mode,
+        "dirs": dirs,
+    })
+    meta["current"] = snap_id
+    _commit(table_dir, meta)
+    return snap_id
+
+
+def snapshot_ids(table_dir: str) -> list[int]:
+    return [s["id"] for s in _load(table_dir)["snapshots"]]
+
+
+def snapshot_meta(table_dir: str, snap_id: int) -> dict:
+    for s in _load(table_dir)["snapshots"]:
+        if s["id"] == snap_id:
+            return s
+    raise ValueError(f"snapshot {snap_id} not found in {table_dir}")
+
+
+def read_table(
+    spark: SparkSession,
+    table_dir: str,
+    as_of: int | None = None,
+) -> DataFrame:
+    """Read the current snapshot, or time-travel to ``as_of``."""
+    meta = _load(table_dir)
+    if meta["current"] is None:
+        raise ValueError(f"{table_dir} has no committed snapshots")
+    snap = snapshot_meta(table_dir, as_of if as_of is not None else meta["current"])
+    paths = [os.path.join(table_dir, d) for d in snap["dirs"]]
+    return spark.read.parquet(*paths)
+
+
+def incremental_rows(
+    spark: SparkSession,
+    table_dir: str,
+    since: int,
+    until: int | None = None,
+) -> DataFrame:
+    """Rows added between two snapshots — the incremental-read shape a
+    checkpointed consumer uses instead of rescanning the table (reads
+    only the data dirs the newer manifest added)."""
+    meta = _load(table_dir)
+    until = until if until is not None else meta["current"]
+    old = set(snapshot_meta(table_dir, since)["dirs"]) if since else set()
+    new = [d for d in snapshot_meta(table_dir, until)["dirs"] if d not in old]
+    if not new:
+        raise ValueError(f"no new data dirs between snapshots {since}..{until}")
+    return spark.read.parquet(*[os.path.join(table_dir, d) for d in new])
