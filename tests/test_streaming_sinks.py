@@ -122,3 +122,32 @@ def test_stream_windowed_counts_watermark(spark, tmp_path):
     h0 = second.filter(F.col("window_start") == pd.Timestamp("2024-01-01"))
     got = {r["lang"]: r["n_pages"] for r in h0.collect()}
     assert got == {"en": 900, "es": 900, "de": 900, "fr": 900}
+
+
+def test_stream_stateful_url_dedup(spark, tmp_path):
+    """applyInPandasWithState: each url emitted exactly once ACROSS
+    micro-batches (keyed state survives in the state store)."""
+    from vyperdatum_spark.streaming import stateful
+
+    in_dir = str(tmp_path / "st_in")
+    out_dir = str(tmp_path / "st_out")
+    ck_dir = str(tmp_path / "st_ck")
+    os.makedirs(in_dir)
+
+    # batch 1: urls 0..99 (page ids 0..99)
+    datagen.pages_pdf(100, seed=1).to_parquet(
+        f"{in_dir}/b1.parquet", coerce_timestamps="us"
+    )
+    stateful.stream_dedup_urls(spark, in_dir, out_dir, ck_dir)
+    out1 = spark.read.parquet(out_dir)
+    assert out1.count() == 100
+    assert out1.select("url").distinct().count() == 100
+
+    # batch 2: urls 50..149 — overlap 50..99 must NOT re-emit
+    pdf2 = datagen.pages_pdf(150, seed=2).iloc[50:150]
+    pdf2.to_parquet(f"{in_dir}/b2.parquet", coerce_timestamps="us")
+    stateful.stream_dedup_urls(spark, in_dir, out_dir, ck_dir)
+    out2 = spark.read.parquet(out_dir)
+    assert out2.count() == 150  # 100 + the 50 new urls only
+    dups = out2.groupBy("url").count().filter("count > 1").count()
+    assert dups == 0

@@ -57,3 +57,29 @@ def geoparse(pages: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("z", z)
         .drop("_m", "_e")
     )
+
+
+def geoparse_mentions(pages: DataFrame, id_col: str = "url",
+                      text_col: str = "text") -> DataFrame:
+    """ALL coordinate mentions per page, one output row per mention:
+    (id, mention_idx 1-based, x, y).
+
+    regexp_extract_all runs the pattern ONCE over the text; the
+    per-group extracts rerun only over each ~25-char match after the
+    posexplode — the multi-mention generalization of :func:`geoparse`
+    (pages citing several stations each)."""
+    t = F.col(text_col)
+    exploded = (
+        pages.select(
+            F.col(id_col),
+            F.posexplode(F.regexp_extract_all(t, F.lit(COORD_RE), F.lit(0)))
+            .alias("_pos", "_m"),
+        )
+        .withColumn("mention_idx", F.col("_pos") + 1)
+    )
+    m = F.col("_m")
+    lat = _signed(F.regexp_extract(m, COORD_RE, 1), F.regexp_extract(m, COORD_RE, 2), "S")
+    lon = _signed(F.regexp_extract(m, COORD_RE, 3), F.regexp_extract(m, COORD_RE, 4), "W")
+    return exploded.select(
+        id_col, "mention_idx", lon.alias("x"), lat.alias("y")
+    )

@@ -533,6 +533,61 @@ def lineage_wkt_oracle_sql() -> str:
     )
 
 
+
+def q_geo_parse_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-mention geoparse (regexp_extract_all + posexplode): pages
+    citing TWO stations each, one output row per mention. Text is
+    synthesized from events with exact-decimal coordinates so the
+    rendered strings are bit-identical across engines."""
+    from ..engine import geoparse
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.col("event_id")
+    lat1 = F.lit(33.0) + ((k * 131) % 300).cast("double") * F.lit(0.01)
+    lon1 = F.lit(76.0) + ((k * 7919) % 400).cast("double") * F.lit(0.01)
+    lat2 = F.lit(34.0) + ((k * 37) % 100).cast("double") * F.lit(0.01)
+    lon2 = F.lit(77.0) + ((k * 73) % 100).cast("double") * F.lit(0.01)
+    pages = ev.select(
+        k.alias("pid"),
+        F.concat(
+            F.lit("station A at "), F.format_string("%.5f", lat1),
+            F.lit("N, "), F.format_string("%.5f", lon1),
+            F.lit("W then B at "), F.format_string("%.5f", lat2),
+            F.lit("N, "), F.format_string("%.5f", lon2), F.lit("W."),
+        ).alias("text"),
+    )
+    return geoparse.geoparse_mentions(pages, id_col="pid")
+
+
+def parse_mentions_oracle_sql() -> str:
+    lat1 = "(33.0 + CAST((event_id * 131) % 300 AS DOUBLE) * 0.01)"
+    lon1 = "(76.0 + CAST((event_id * 7919) % 400 AS DOUBLE) * 0.01)"
+    lat2 = "(34.0 + CAST((event_id * 37) % 100 AS DOUBLE) * 0.01)"
+    lon2 = "(77.0 + CAST((event_id * 73) % 100 AS DOUBLE) * 0.01)"
+    # coordinates have <= 2 decimals exactly, so %.5f renders
+    # identically in Java and C printf (no rounding at the boundary)
+    text = (
+        f"('station A at ' || printf('%.5f', {lat1}) || 'N, ' || "
+        f"printf('%.5f', {lon1}) || 'W then B at ' || "
+        f"printf('%.5f', {lat2}) || 'N, ' || printf('%.5f', {lon2}) || 'W.')"
+    )
+    re = r"(\d+\.\d+)\s*([NS]),?\s+(\d+\.\d+)\s*([WE])"
+    return (
+        f"WITH pages AS (SELECT event_id AS pid, {text} AS text FROM events), "
+        f"ments AS (SELECT pid, regexp_extract_all(text, '{re}', 0) AS ms FROM pages), "
+        f"expl AS (SELECT pid, i AS mention_idx, ms[i] AS m "
+        f"FROM ments, LATERAL (SELECT unnest(generate_series(1, len(ms))) AS i) u) "
+        f"SELECT pid, mention_idx, "
+        f"(CASE WHEN regexp_extract(m, '{re}', 4) = 'W' "
+        f"THEN -TRY_CAST(regexp_extract(m, '{re}', 3) AS DOUBLE) "
+        f"ELSE TRY_CAST(regexp_extract(m, '{re}', 3) AS DOUBLE) END) AS x, "
+        f"(CASE WHEN regexp_extract(m, '{re}', 2) = 'S' "
+        f"THEN -TRY_CAST(regexp_extract(m, '{re}', 1) AS DOUBLE) "
+        f"ELSE TRY_CAST(regexp_extract(m, '{re}', 1) AS DOUBLE) END) AS y "
+        f"FROM expl"
+    )
+
+
 def queries() -> dict:
     return {
         "geo_extent": q_geo_extent,
@@ -556,6 +611,7 @@ def queries() -> dict:
         "geo_transform_from_depth": q_geo_transform_from_depth,
         "geo_knn_edge": q_geo_knn_edge,
         "geo_lineage_wkt": q_geo_lineage_wkt,
+        "geo_parse_mentions": q_geo_parse_mentions,
     }
 
 
@@ -626,4 +682,5 @@ def oracle_sql() -> dict:
         "geo_transform_from_depth": transform_oracle_sql("noaa chart datum", "navd88"),
         "geo_knn_edge": knn_edge_oracle_sql(),
         "geo_lineage_wkt": lineage_wkt_oracle_sql(),
+        "geo_parse_mentions": parse_mentions_oracle_sql(),
     }

