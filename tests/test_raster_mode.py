@@ -169,3 +169,24 @@ def test_knn_edge_fill(spark):
     ).toPandas()
     assert with_knn.covered.iloc[0]
     assert np.isfinite(with_knn.z_out.iloc[0])
+
+
+def test_band_table_sink_round_trip(spark, tmp_path):
+    """GeoTIFF-shaped sink: strips + geotransform metadata reassemble
+    to the exact transformed band, nodata-filled where uncovered."""
+    from vyperdatum_spark.engine import sinks
+
+    vals, cells_df = _raster(spark)
+    out = vr.transform_raster_points(spark, cells_df, "ellipse", "mllw")
+    path = str(tmp_path / "band_tbl")
+    sinks.to_band_table(
+        out, path, origin_x=-77.95, origin_y=34.4, dx=0.02, dy=-0.02,
+        width=20, height=20, bands=("z_out", "unc"), rows_per_strip=8,
+    )
+    band, meta = sinks.read_band(spark, path, "z_out")
+    assert band.shape == (20, 20) and meta["width"] == 20
+    # strips reassemble to the same band points_to_band produces
+    ref = vr.points_to_band(out.toPandas(), 20, 20)
+    assert np.allclose(band, ref, atol=1e-12)
+    unc_band, _ = sinks.read_band(spark, path, "unc")
+    assert np.isfinite(unc_band).all()
