@@ -89,3 +89,44 @@ def test_transform_accepts_epsg_and_tuple(spark):
     ppts = _pts(spark, px, py)
     by_tuple = tx.transform_points(spark, ppts, (2264, "ellipse"), 5866).toPandas()
     assert by_tuple.loc[0, "z_out"] == by_name.loc[0, "z_out"]
+
+
+def test_registered_triangle_region_sql_vs_kernel(spark, clean_catalog):
+    """A NON-rectangular runtime region exercises the generic ray-cast
+    codegen path of the SQL strategy (fixture regions are rectangles,
+    which take the 4-comparison fast path); SQL and kernel strategies
+    must agree bit-for-bit."""
+    rid = "RGNTri01_8301"
+    catalog.register_regions_from_config({"regions": [{
+        "region_id": rid,
+        "region_ord": 4,
+        # triangle straddling region A's south-west corner area
+        "polygon": [[-77.95, 33.05], [-77.05, 33.05], [-77.5, 33.95]],
+        "geoid": "core/geoid12b/gsyntht.gtx",
+        "planes": {
+            "core/geoid12b/gsyntht.gtx": [0.012, -0.019, -34.25],
+            f"{rid}/tss.gtx": [0.0019, 0.0031, 0.12],
+            f"{rid}/mllw.gtx": [-0.0012, 0.0024, -0.72],
+        },
+        "sigmas": {"geoid": 0.015, "tss": 0.025, "mllw": 0.035},
+    }]})
+    rng = np.random.default_rng(17)
+    n = 4000
+    pdf = pd.DataFrame({
+        "pid": np.arange(n, dtype=np.int64),
+        "x": rng.uniform(-78.2, -76.8, n),
+        "y": rng.uniform(32.9, 34.1, n),
+        "z": np.round(rng.uniform(-5, 15, n), 2),
+    })
+    pts = spark.createDataFrame(pdf)
+    a = tx.transform_points(spark, pts, "ellipse", "mllw",
+                            strategy="sql").toPandas().set_index("pid")
+    b = tx.transform_points(spark, pts, "ellipse", "mllw",
+                            strategy="broadcast").toPandas().set_index("pid")
+    assert (a.region_id.fillna("∅") == b.region_id.fillna("∅")).all()
+    assert np.array_equal(a.z_out.fillna(-9e9).values,
+                          b.z_out.fillna(-9e9).values)
+    # the triangle actually wins somewhere (ord 4 > A's 0)
+    assert (a.region_id == rid).sum() > 0
+    # and points in A outside the triangle still resolve to A
+    assert (a.region_id == "RGNAcoast01_8301").sum() > 0
