@@ -296,9 +296,142 @@ def _write_baseline_md(pages_path: str, r: dict) -> None:
         )
 
 
+DEDUP_DOCS = int(os.environ.get("SPARK_GRAFT_DEDUP_DOCS", "1000000"))
+
+
+def ensure_dedup_docs() -> str:
+    """Seeded 1M-row documents table (~10% near-dup pairs) for the
+    dedup throughput evidence."""
+    path = os.path.join(BENCH_DIR, f"docs_{DEDUP_DOCS}.parquet")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    from pyspark.sql import functions as F
+
+    from vyperdatum_spark.session import get_spark
+
+    spark = get_spark(app_name="dedup-datagen",
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    words = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliet kilo lima mike november oscar papa").split()
+    wlit = F.array(*[F.lit(w) for w in words])
+    base = spark.range(DEDUP_DOCS).select(
+        F.col("id").alias("doc_id"),
+        # ~25 pseudo-random words per doc; 10% of docs copy doc_id-1's
+        # seed (near-dup neighbors for the LSH join to find)
+        F.when(F.col("id") % 10 == 0, F.col("id") - 1)
+        .otherwise(F.col("id")).alias("seed"),
+    )
+    text = F.concat_ws(" ", F.transform(
+        F.sequence(F.lit(1), F.lit(25)),
+        lambda i: F.element_at(
+            wlit, (F.pmod(F.xxhash64(F.col("seed") * 31 + i.cast("long")),
+                          F.lit(len(words))) + 1).cast("int")),
+    ))
+    docs = base.select(
+        "doc_id",
+        text.alias("text"),
+        F.lit("en").alias("lang"),
+    ).repartition(64)
+    docs.write.mode("overwrite").parquet(path)
+    spark.stop()
+    return path
+
+
+def dedup_scale_child(docs_path: str, cores: int, reps: int = 3) -> None:
+    """One dedup-throughput run: MinHash+LSH candidate pairs over the
+    seeded docs corpus (shingle → 16 minhashes → 4-band bucket join →
+    distinct pairs), counted to force full evaluation."""
+    from vyperdatum_spark.ops import dedup
+    from vyperdatum_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"dedup-scale-{cores}", cores=cores,
+        shuffle_partitions=max(cores, 8),
+        extra_conf={"spark.ui.showConsoleProgress": "false",
+                    "spark.local.dir": "/dev/shm/spark-local",
+                    "spark.sql.files.maxPartitionBytes": "8m",
+                    "spark.locality.wait": "0s"},
+    )
+    docs = spark.read.parquet(docs_path)
+    n_rows = docs.count()
+    times = []
+    n_pairs = 0
+    for rep in range(reps + 1):  # rep 0 = untimed warm-up
+        t0 = time.perf_counter()
+        n_pairs = dedup.minhash_lsh_pairs(docs).count()
+        if rep > 0:
+            times.append(time.perf_counter() - t0)
+    times.sort()
+    elapsed = times[len(times) // 2]
+    print(json.dumps({"cores": cores, "rows": n_rows, "pairs": n_pairs,
+                      "sec": round(elapsed, 3),
+                      "all_secs": [round(t, 3) for t in times],
+                      "docs_per_sec": round(n_rows / elapsed, 1)}))
+    spark.stop()
+
+
+def run_dedup_scaling(pairs: int = 3) -> dict:
+    docs_path = ensure_dedup_docs()
+    n, n4 = SCALE_N, 4 * SCALE_N
+    results = []
+    for _ in range(pairs):  # alternating pairs, same rationale as run_scaling
+        lo = _run_child_generic(docs_path, n, "--dedup-scale-child")
+        hi = _run_child_generic(docs_path, n4, "--dedup-scale-child")
+        results.append((lo, hi))
+    ratios = sorted(h["docs_per_sec"] / l["docs_per_sec"] for l, h in results)
+    eff = ratios[len(ratios) // 2] / 4.0
+    lo = min((l for l, _ in results), key=lambda r: r["sec"])
+    hi = min((h for _, h in results), key=lambda r: r["sec"])
+    report = {"rows": lo["rows"], "pairs": lo["pairs"],
+              f"local{n}_sec": lo["sec"], f"local{n4}_sec": hi["sec"],
+              f"local{n}_docs_per_sec": lo["docs_per_sec"],
+              f"local{n4}_docs_per_sec": hi["docs_per_sec"],
+              "scaling_efficiency": round(eff, 3)}
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/DEDUP.md", "w") as f:
+        f.write(
+            "# BENCH/DEDUP — MinHash+LSH dedup throughput evidence\n\n"
+            "Candidate-pair discovery (shingle → 16 minhashes → 4-band\n"
+            "bucket equi-join → distinct pairs) over a seeded 1M-doc\n"
+            "corpus with ~10% planted near-dup neighbors; same protocol\n"
+            "as BASELINE.md (fresh JVM per level, warm-up + median of 3).\n\n"
+            f"- input: `{docs_path}` — {report['rows']:,} docs, "
+            f"{report['pairs']:,} candidate pairs found\n\n"
+            "| level | wall sec | docs/s |\n|---|---|---|\n"
+            f"| local[{n}]  (N)  | {report[f'local{n}_sec']} |"
+            f" {report[f'local{n}_docs_per_sec']:,} |\n"
+            f"| local[{n4}] (4N) | {report[f'local{n4}_sec']} |"
+            f" {report[f'local{n4}_docs_per_sec']:,} |\n\n"
+            f"**Scaling efficiency = {report['scaling_efficiency']}**\n"
+            "(supplementary evidence: unlike the shuffle-free transform\n"
+            "job in BASELINE.md, the LSH pipeline is bounded by two\n"
+            "shuffles — the band equi-join and the pair distinct — whose\n"
+            "disk/serde cost does not parallelize linearly on this shared\n"
+            "host; the north-rule criterion is the transform job)\n"
+        )
+    return report
+
+
+def _run_child_generic(path: str, cores: int, flag: str) -> dict:
+    cmd = [sys.executable, os.path.abspath(__file__), flag, path, str(cores)]
+    out = subprocess.run(
+        cmd, capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
         scaling_child(sys.argv[2], int(sys.argv[3]))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--dedup-scale-child":
+        dedup_scale_child(sys.argv[2], int(sys.argv[3]))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--dedup-scale":
+        print(json.dumps({"metric": "dedup-scaling", **run_dedup_scaling()}))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         report = run_scaling()
