@@ -130,3 +130,40 @@ def test_registered_triangle_region_sql_vs_kernel(spark, clean_catalog):
     assert (a.region_id == rid).sum() > 0
     # and points in A outside the triangle still resolve to A
     assert (a.region_id == "RGNAcoast01_8301").sum() > 0
+
+
+def test_lineage_wkt_recovers_inverse(spark):
+    """SURVEY §3.3 lineage contract end-to-end: the compound WKT
+    attached to a transform's output is sufficient, BY ITSELF, to run
+    the inverse — parse the datum from the artifact and transform
+    back, no out-of-band knowledge."""
+    rng = np.random.default_rng(23)
+    n = 500
+    pdf = pd.DataFrame({
+        "pid": np.arange(n, dtype=np.int64),
+        "x": rng.uniform(-77.9, -76.1, n),
+        "y": rng.uniform(33.1, 34.9, n),
+        "z": np.round(rng.uniform(-10, 10, n), 2),
+    })
+    fwd = tx.transform_points(
+        spark, spark.createDataFrame(pdf), "ellipse", "mllw", key_col="pid"
+    ).toPandas()
+    wkt = vypercrs.lineage_wkt("ellipse", "mllw")
+    assert vypercrs.is_valid_vert_wkt(wkt)
+
+    # recover the inverse purely from the artifact
+    parsed = vypercrs.parse_vert_wkt(wkt)
+    assert parsed["is_height"] is False  # depth axis recovered too
+    back_in = fwd[fwd.covered][["pid", "x", "y", "z_out"]].rename(
+        columns={"z_out": "z"})
+    inv = tx.transform_points(
+        spark, spark.createDataFrame(back_in),
+        parsed["datum_name"], "ellipse", key_col="pid",
+    ).toPandas().set_index("pid")
+    orig = pdf.set_index("pid").loc[inv.index, "z"]
+    assert np.allclose(inv["z_out"].to_numpy(), orig.to_numpy(), atol=0.002)
+    # and the recovered region/pipeline lineage matches the compiler
+    from vyperdatum_spark.datums import pipeline as pl
+    for rid, pipe in zip(parsed["regions"], parsed["pipelines"]):
+        r = catalog.REGION_BY_ID[rid]
+        assert pipe == pl.compile_pipeline_string("ellipse", "mllw", rid, r.geoid)

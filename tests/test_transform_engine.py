@@ -278,3 +278,17 @@ def test_depth_input_hand_checked(spark):
     out2 = run_engine(spark, pdf, "noaa chart datum", "navd88")
     sep = out2.loc[1, "sep"]
     assert out2.loc[1, "z_out"] == pytest.approx(round(-12.3 + sep, 3), abs=1e-9)
+
+
+@pytest.mark.parametrize("strategy", ["sql", "broadcast", "cogroup"])
+def test_empty_input_all_strategies(spark, strategy):
+    """Zero-row input: every strategy returns an empty frame with the
+    full output schema (no crash in kernels, joins, or codegen)."""
+    empty = spark.createDataFrame(
+        [], "pid long, x double, y double, z double"
+    )
+    out = tx.transform_points(
+        spark, empty, "ellipse", "mllw", strategy=strategy,
+    )
+    assert out.count() == 0
+    assert {"region_id", "z_out", "covered", "sep", "unc"} <= set(out.columns)

@@ -549,9 +549,13 @@ def transform_points(
 
     def _emit(df: DataFrame) -> DataFrame:
         if emit_out_xy is not None:
-            df = df.withColumn("x_out", emit_out_xy[0]).withColumn(
-                "y_out", emit_out_xy[1]
-            )
+            # reference writes output coords only for valid (covered)
+            # points (ans_x[valid_index], core.py:446-448); uncovered
+            # rows keep null x_out/y_out
+            cov = F.col("covered") if "covered" in df.columns else F.lit(True)
+            df = df.withColumn(
+                "x_out", F.when(cov, emit_out_xy[0])
+            ).withColumn("y_out", F.when(cov, emit_out_xy[1]))
         return df.drop("_zg")
 
     null_steps = pl.compile_steps(from_datum, to_datum, "R", "G")

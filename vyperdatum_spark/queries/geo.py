@@ -378,10 +378,14 @@ def transform_outframe_oracle_sql() -> str:
         )
     zcase = "CASE " + " ".join(whens) + " ELSE NULL END"
     ox, oy = hcrs.from_geoid_frame_sql("itrfs", "x", "y")
+    # output coords only for covered points (ans_x[valid_index],
+    # core.py:446-448)
     return (
         f"{_pts_cte()}, assigned AS ("
         f"  SELECT pid, x, y, z, {region_case_sql()} AS region_id FROM pts) "
-        f"SELECT pid, region_id, {ox} AS x_out, {oy} AS y_out, "
+        f"SELECT pid, region_id, "
+        f"CASE WHEN region_id IS NOT NULL THEN {ox} END AS x_out, "
+        f"CASE WHEN region_id IS NOT NULL THEN {oy} END AS y_out, "
         f"{zcase} AS z_out FROM assigned"
     )
 
