@@ -167,3 +167,40 @@ def test_lineage_wkt_recovers_inverse(spark):
     for rid, pipe in zip(parsed["regions"], parsed["pipelines"]):
         r = catalog.REGION_BY_ID[rid]
         assert pipe == pl.compile_pipeline_string("ellipse", "mllw", rid, r.geoid)
+
+
+def test_pipeline_crs_accumulator_any_order():
+    """VyperPipelineCRS analog (reference tests/test_vypercrs.py
+    :143-345): specs arrive in any order and any form; valid once
+    horizontal + vertical + regions are all present."""
+    # vert name first, then horiz EPSG, then regions
+    c = vypercrs.PipelineCRS("mllw")
+    assert not c.is_valid and c.is_height is False
+    c.set_crs(6318)
+    assert not c.is_valid and c.horizontal == "nad83s"
+    c.update_regions(["RGNAcoast01_8301", "RGNBinner01_8301"])
+    assert c.is_valid
+    wkt = c.to_compound_wkt()
+    assert vypercrs.is_valid_vert_wkt(wkt)
+    parsed = vypercrs.parse_vert_wkt(wkt)
+    assert parsed["regions"] == ["RGNAcoast01_8301", "RGNBinner01_8301"]
+
+    # reverse order: horiz first, vert via EPSG, regions via WKT
+    c2 = vypercrs.PipelineCRS(2264)
+    c2.set_crs(5866)
+    assert not c2.is_valid
+    c2.set_crs(wkt)  # lineage WKT brings its regions along
+    assert c2.is_valid and c2.vertical == "mllw"
+    # the compound WKT carries its own horizontal member — latest spec
+    # wins, same as the reference's set_crs overwrite behavior
+    assert c2.horizontal == "nad83s"
+
+    # tuple in one shot
+    c3 = vypercrs.PipelineCRS((26919, "navd88"))
+    c3.update_regions(["RGNCbay01_8301"])
+    assert c3.is_valid and c3.is_height is True
+    assert "navd88" in c3.to_wkt()
+
+    # incomplete -> clear error
+    with pytest.raises(ValueError, match="missing"):
+        vypercrs.PipelineCRS("tss").to_compound_wkt()

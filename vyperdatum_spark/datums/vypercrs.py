@@ -200,6 +200,93 @@ def is_valid_vert_wkt(wkt: str) -> bool:
 
 
 # --------------------------------------------------------------------
+# order-independent CRS accumulator (VyperPipelineCRS analog)
+# --------------------------------------------------------------------
+
+class PipelineCRS:
+    """Mirror of the reference's ``VyperPipelineCRS`` assembly machine
+    (vypercrs.py:665-870, exercised by tests/test_vypercrs.py:143-345):
+    horizontal CRS, vertical datum, and regions arrive in ANY order and
+    through any spec form (name / EPSG / WKT / tuple); the object
+    becomes valid — and can emit the compound WKT — once all three are
+    present."""
+
+    def __init__(self, spec=None):
+        self._horiz: str | None = None
+        self._vert: str | None = None
+        self._regions: list[str] = []
+        if spec is not None:
+            self.set_crs(spec)
+
+    def set_crs(self, spec) -> None:
+        from . import resolve
+
+        if isinstance(spec, tuple):
+            for part in spec:
+                self.set_crs(part)
+            return
+        horiz, vert = resolve.resolve(spec)
+        if horiz is not None:
+            self._horiz = horiz
+        if vert is not None:
+            self._vert = vert
+        if isinstance(spec, str) and "REMARK[" in spec:
+            # a lineage-carrying WKT also brings its region list
+            self._regions = parse_vert_wkt(spec)["regions"]
+
+    def update_regions(self, regions) -> None:
+        self._regions = list(regions)
+
+    @property
+    def horizontal(self) -> str | None:
+        return self._horiz
+
+    @property
+    def vertical(self) -> str | None:
+        return self._vert
+
+    @property
+    def regions(self) -> list[str]:
+        return list(self._regions)
+
+    @property
+    def is_valid(self) -> bool:
+        return bool(self._horiz and self._vert and self._regions)
+
+    @property
+    def is_height(self) -> bool | None:
+        if self._vert is None:
+            return None
+        return pl.is_height(self._vert)
+
+    def pipelines(self) -> list[str]:
+        """Compiled PROJ lineage per accumulated region (root datum is
+        the ellipsoid, as in the reference's datum definitions)."""
+        out = []
+        for rid in self._regions:
+            r = catalog.REGION_BY_ID[rid]
+            p = pl.compile_pipeline_string("ellipse", self._vert,
+                                           rid, r.geoid)
+            out.append(p if p is not None else "")
+        return out
+
+    def to_wkt(self) -> str:
+        if self._vert is None:
+            raise ValueError("no vertical datum set")
+        return build_vert_wkt(self._vert, self._regions, self.pipelines(),
+                              base_datum=self._horiz or "nad83s")
+
+    def to_compound_wkt(self) -> str:
+        if not self.is_valid:
+            missing = [n for n, v in [("horizontal", self._horiz),
+                                      ("vertical", self._vert),
+                                      ("regions", self._regions)] if not v]
+            raise ValueError(f"CRS incomplete, missing: {missing}")
+        return build_compound_wkt(horiz_wkt_for_crs(self._horiz),
+                                  self.to_wkt())
+
+
+# --------------------------------------------------------------------
 # engine integration: lineage CRS for a transform
 # --------------------------------------------------------------------
 
