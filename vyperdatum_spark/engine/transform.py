@@ -2,8 +2,24 @@
 
 Spark-first re-expression of the reference's ``transform_dataset``
 (core.py:357-464). The reference loops regions in the driver and calls
-PROJ per region; here the whole thing is one declarative DataFrame
-plan (Catalyst plans the joins, AQE handles skew/coalesce):
+PROJ per region; here the whole thing is a declarative DataFrame plan
+with THREE physical strategies sharing one semantics:
+
+sql (DEFAULT, engine/transform_sql.py) — the whole region loop as
+    broadcast hash joins + whole-stage-codegen column math: cover-slot
+    prune join [J1], literal-codegen ray-cast PIP [J2], pre-combined
+    grid corner joins + bilinear expressions [J3/A4], ord-ascending
+    slot coalesce [W1]. ZERO shuffles, ZERO Python crossings; heavy
+    page columns never leave Tungsten rows.
+
+broadcast — fused mapInArrow kernel: the region loop runs in numpy
+    over Arrow batches, grids shipped once per executor via
+    sc.broadcast (the PROJ-grid-cache analog). Routes J8 kNN edge
+    fallback and W2 count precedence, which the SQL plan can't express
+    without extra passes.
+
+cogroup — salted cogroup against the (grid_id, cell5) tile side
+    table, for grid working sets beyond broadcast budget:
 
     points --cell5/cell9--> ⋈ broadcast(fine region cover)  [J1 prune]
            cogroup (region_id, cell5[, salt]) with region tile bundles
@@ -11,7 +27,11 @@ plan (Catalyst plans the joins, AQE handles skew/coalesce):
                   per-step bilinear [J3/J4/J8] + ordered sum [A4]
            groupBy key -> precedence winner              [W1/W2]
            ⋈ back to points on key                        [enrichment]
-           flip/round/uncertainty/coverage columns  [F1/F4/F5/F6, J6]
+
+All strategies end in the same finalize contract: F1 coverage, the F4
+axis-flip matrix, F5 round(3), F6 CATZOC, J6 uncertainty, the
+output-frame z-correction — plus the horizontal-CRS pre-step
+(spatial/crs.py) when the input is projected or foreign-frame.
 
 Region membership matches the reference's semantics: a point belongs
 to a region iff it is inside the region polygon AND every pipeline
@@ -21,25 +41,21 @@ valid regions is last-write-wins in catalog order (W1, core.py:446-453)
 or count-ranked for raster mode (W2, raster.py:226-233).
 
 Scale notes (100 TB / 10^12 rows):
-- ONE Python crossing per candidate row: PIP, all bilinear steps and
-  the step sum happen inside a single cogrouped kernel (an earlier
-  design paid the Arrow boundary twice — PIP filter + per-step
-  kernel — plus a points×steps explosion and a collect_list
-  aggregation; merging them measured ~3× faster end-to-end and
-  halved the shuffle volume).
+- the sql strategy is the production path: one codegen pass over the
+  driving table, all join sides O(grid nodes + polygons) ≈ MBs; it
+  measured 0.865 N→4N scaling efficiency (BENCH/BASELINE.md) because
+  there is nothing to shuffle and no Python worker boundary to
+  contend on.
 - the prune join uses a FINE-res polygon cover (broadcast, a few
-  hundred rows) so non-member points mostly never reach Python;
-  exactness still comes from the in-kernel ray cast.
-- only narrow columns (key, x, y) enter the transform path; heavy
-  page payloads (html/text) stay in the driving table and are
-  re-attached by the final key join — text passes through
-  byte-identical.
-- each tile bundle (all steps' node lattices for one (region, cell))
-  ships once per cogroup, not once per point row — the Spark analog
-  of PROJ's grid cache.
-- the hot-key problem (famous coordinates) is handled by explicit
-  salting: points get salt = pmod(xxhash64(key), n_salt), bundles are
-  replicated n_salt times; AQE skew-join remains on as backstop.
+  hundred rows) so non-member points mostly skip the expensive math;
+  exactness still comes from the exact PIP.
+- kernel strategies: each tile bundle ships once per cogroup/executor,
+  not once per point row; the hot-key problem (famous coordinates) is
+  handled by explicit salting (pmod(xxhash64(key), n_salt)) with AQE
+  skew-join as backstop.
+- J5 sampled mode (transform_points_sampled) transforms O(distinct
+  fine cells) and equi-joins back — the cheapest path when exact
+  per-point PIP is not required.
 """
 
 from __future__ import annotations
