@@ -165,3 +165,27 @@ def test_multimodal_real_decode_is_stubbed(spark):
         multimodal.decode_media(
             pages, "id", "payload", deterministic_fake=False
         ).collect()
+
+
+def test_multimodal_resize_plumbing(spark):
+    """Resize stub: deterministic dims/scales per blob, stable digest
+    keyed by (content, target)."""
+    import pandas as pd
+    from vyperdatum_spark.ops import multimodal
+
+    pdf = pd.DataFrame({
+        "id": [1, 2],
+        "payload": [b"\x89PNG-fake-bytes-1", b"\xff\xd8\xffjpeg-fake-2"],
+    })
+    df = spark.createDataFrame(pdf)
+    out = multimodal.resize_media(df, "id", "payload", 32, 24) \
+        .toPandas().set_index("id").sort_index()
+    assert (out.out_width == 32).all() and (out.out_height == 24).all()
+    assert (out.scale_x > 0).all()
+    # deterministic: same input -> same digest; different targets differ
+    out2 = multimodal.resize_media(df, "id", "payload", 32, 24) \
+        .toPandas().set_index("id").sort_index()
+    assert (out.resized_md5 == out2.resized_md5).all()
+    out3 = multimodal.resize_media(df, "id", "payload", 64, 64) \
+        .toPandas().set_index("id").sort_index()
+    assert (out.resized_md5 != out3.resized_md5).all()

@@ -103,6 +103,57 @@ def decode_media(df: DataFrame, id_col: str, bin_col: str,
     return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(fn, DECODE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "id long, out_width int, out_height int, scale_x double, "
+    "scale_y double, resized_md5 string"
+)
+
+
+def resize_media(df: DataFrame, id_col: str, bin_col: str,
+                 target_w: int = 32, target_h: int = 32,
+                 deterministic_fake: bool = True) -> DataFrame:
+    """Resize plumbing over mapInPandas: per-blob target dims, scale
+    factors vs the (fake-)decoded source dims, and a content-addressed
+    digest of the 'resized' payload. The pixel resample itself is the
+    stubbed codec step (no image libs in this container); the Spark
+    side — batch iteration, schema, derived-scale math — is real.
+    """
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "real image resize requires codec libraries not "
+                    "present in this container; use deterministic_fake=True"
+                )
+            n = len(pdf)
+            if n == 0:
+                continue
+            d = np.frombuffer(
+                b"".join(hashlib.md5(bytes(p)).digest() for p in pdf[bin_col]),
+                dtype=np.uint8,
+            ).reshape(n, 16)
+            src_w = (16 + d[:, 0] % 64).astype(np.float64)
+            src_h = (16 + d[:, 1] % 64).astype(np.float64)
+            resized = [
+                hashlib.md5(d[i].tobytes() + f"|{target_w}x{target_h}".encode())
+                .hexdigest()
+                for i in range(n)
+            ]
+            yield pd.DataFrame({
+                "id": pdf[id_col].to_numpy(),
+                "out_width": np.full(n, target_w, dtype=np.int32),
+                "out_height": np.full(n, target_h, dtype=np.int32),
+                "scale_x": target_w / src_w,
+                "scale_y": target_h / src_h,
+                "resized_md5": resized,
+            })
+
+    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(
+        fn, RESIZE_SCHEMA
+    )
+
+
 def frame_sample(df: DataFrame, id_col: str, bin_col: str,
                  every_n: int = 2) -> DataFrame:
     """Frame-sampling plumbing: decode (fake) then explode frame
