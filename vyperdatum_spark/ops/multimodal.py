@@ -33,8 +33,16 @@ MAGIC = {
 }
 
 
-def media_meta(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
-    """Typed metadata over an opaque binary column (no decode)."""
+def media_meta(df: DataFrame, id_col: str, bin_col: str,
+               hash_mode: str = "raw") -> DataFrame:
+    """Typed metadata over an opaque binary column (no decode).
+
+    ``hash_mode="raw"`` hashes the payload bytes directly;
+    ``hash_mode="hex"`` hashes the uppercase hex encoding instead — a
+    bijective re-encoding, so still an exact content hash, but
+    portable to SQL engines whose hash functions are VARCHAR-only
+    (DuckDB's md5 rejects BLOB; used by the oracle gate).
+    """
     b = F.col(bin_col)
     sniff = F.lit("bin")
     for magic, kind in MAGIC.items():
@@ -42,10 +50,11 @@ def media_meta(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
         sniff = F.when(
             F.startswith(F.hex(b), F.lit(hexpref.upper())), F.lit(kind)
         ).otherwise(sniff)
+    hashed = F.md5(F.hex(b)) if hash_mode == "hex" else F.md5(b)
     return df.select(
         F.col(id_col),
         F.octet_length(b).cast("long").alias("byte_len"),
-        F.md5(b).alias("content_md5"),
+        hashed.alias("content_md5"),
         sniff.alias("media_kind"),
     )
 

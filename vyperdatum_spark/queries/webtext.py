@@ -35,6 +35,52 @@ DUPS_SQL = (
 )
 
 
+def _media_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text re-encoded as opaque binary payloads, a rotating
+    subset prefixed with real codec magic bytes — deterministic stand-in
+    for a multimodal (image/audio) column at any scale factor."""
+    d = F.col("doc_id")
+    prefix = (
+        F.when(d % 7 == 0, F.lit(b"\x89PNG"))
+        .when(d % 7 == 1, F.lit(b"GIF8"))
+        .when(d % 7 == 2, F.lit(b"\xff\xd8\xff"))
+        .otherwise(F.lit(b""))
+    )
+    return _docs(spark, sf_dir).select(
+        d.alias("doc_id"),
+        F.concat(prefix, F.encode(F.col("text"), "UTF-8")).alias("payload"),
+    )
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops import multimodal
+
+    return multimodal.media_meta(
+        _media_payloads(spark, sf_dir), "doc_id", "payload", hash_mode="hex"
+    )
+
+
+def multimodal_meta_sql() -> str:
+    from ..ops.multimodal import MAGIC
+
+    sniff = "ELSE 'bin' END"
+    whens = " ".join(
+        f"WHEN starts_with(hex(payload), '{magic.hex().upper()}') "
+        f"THEN '{kind}'"
+        for magic, kind in MAGIC.items()
+    )
+    return (
+        "WITH p AS (SELECT doc_id, "
+        "(CASE WHEN doc_id % 7 = 0 THEN '\\x89PNG'::BLOB "
+        "WHEN doc_id % 7 = 1 THEN 'GIF8'::BLOB "
+        "WHEN doc_id % 7 = 2 THEN '\\xFF\\xD8\\xFF'::BLOB "
+        "ELSE ''::BLOB END || encode(text)) AS payload FROM documents) "
+        "SELECT doc_id, octet_length(payload) AS byte_len, "
+        "md5(hex(payload)) AS content_md5, "
+        f"CASE {whens} {sniff} AS media_kind FROM p"
+    )
+
+
 def queries() -> dict:
     return {
         "dedup_exact": lambda s, d: dedup.exact_duplicates(_docs_with_dups(s, d)),
@@ -61,6 +107,7 @@ def queries() -> dict:
         "text_langid": lambda s, d: textstats.langid_df(_docs(s, d)),
         "text_token_counts": lambda s, d: textstats.token_counts_df(_docs(s, d)),
         "doc_fingerprint": lambda s, d: textstats.fingerprint_df(_docs(s, d)),
+        "multimodal_meta": q_multimodal_meta,
     }
 
 
@@ -80,4 +127,5 @@ def oracle_sql() -> dict:
         "text_langid": textstats.langid_sql(),
         "text_token_counts": textstats.token_counts_sql(),
         "doc_fingerprint": textstats.fingerprint_sql(),
+        "multimodal_meta": multimodal_meta_sql(),
     }
