@@ -44,3 +44,38 @@ def test_append_reuses_previous_data_dirs(spark, tmp_path):
 def test_read_empty_table_errors(spark, tmp_path):
     with pytest.raises(ValueError, match="no committed snapshots"):
         tables.read_table(spark, str(tmp_path / "nope"))
+
+
+def test_incremental_consumer_exactly_once(spark, tmp_path):
+    """The checkpointed snapshot consumer: each run transforms ONLY the
+    source rows appended since the committed watermark; rows and
+    watermark land in one manifest commit; a no-new-data rerun is a
+    no-op (crash replay cannot duplicate committed output)."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    fn = lambda df: df.withColumn("v2", F.col("k") * 2)
+
+    tables.write_table(_df(spark, 0, 50), src)
+    r1 = tables.process_incremental(spark, src, out, fn)
+    assert not r1["skipped"] and (r1["since"], r1["until"]) == (0, 1)
+    assert tables.read_table(spark, out).count() == 50
+
+    tables.write_table(_df(spark, 50, 81), src, mode="append")
+    r2 = tables.process_incremental(spark, src, out, fn)
+    assert (r2["since"], r2["until"]) == (1, 2)
+    got = tables.read_table(spark, out)
+    assert got.count() == 81  # no duplicates of the first 50
+    assert got.agg(F.sum("v2")).collect()[0][0] == sum(2 * k for k in range(81))
+    # the second output snapshot added exactly one data dir holding
+    # only the incremental rows
+    m = tables.snapshot_meta(out, r2["snapshot"])
+    assert m["properties"] == {"source_since": "1", "source_until": "2"}
+    assert len(m["dirs"]) == 2
+
+    # replay with nothing new: no commit, watermark unchanged
+    r3 = tables.process_incremental(spark, src, out, fn)
+    assert r3["skipped"]
+    assert tables.snapshot_ids(out) == [1, 2]
+    assert tables.consumer_watermark(out) == 2

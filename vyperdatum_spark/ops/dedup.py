@@ -231,30 +231,42 @@ N_SIMHASH_BANDS = 4
 SIMHASH_MAX_HAMMING = 3
 
 
-def simhash_from_hashes(hashes: Column, bits: int = N_SIMHASH_BITS) -> Column:
-    """SimHash over a MATERIALIZED array<long> column: bit i set iff
-    more than half the hashes have bit i set."""
-    n = F.size(hashes)
-    v = F.lit(0).cast("long")
-    for i in range(bits):
-        cnt = F.size(
-            F.filter(hashes, lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1)
-        )
-        v = v + F.when(cnt * 2 > n, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
-    return v
-
-
 def simhash_df(df: DataFrame, id_col: str, text_col: str,
                bits: int = N_SIMHASH_BITS) -> DataFrame:
-    """(id, simhash) with the token-hash array materialized first (the
-    16 bit-count expressions then scan a concrete column instead of
-    re-deriving tokens+md5 16× per row)."""
-    hs = df.select(
+    """(id, simhash) via explode + ``bits`` codegen'd bit-count
+    aggregates.
+
+    The per-row formulation (``bits`` interpreted ``F.filter`` passes
+    over a token-hash array — CodegenFallback, ~60 array scans per
+    row) measured 2-3× slower than this shape: explode tokens, hash
+    once, then one whole-stage-codegen HashAggregate of 0/1 bit sums.
+    Map-side partial aggregation collapses the exploded rows back to
+    one row per (doc, partition) before the shuffle, so shuffle volume
+    is docs × (bits+1) longs — negligible at any scale. Assumes
+    ``id_col`` is unique per document (same-id rows would merge).
+
+    A doc with NULL text yields NULL simhash (token count 0 — split()
+    of any non-null text has ≥1 element), matching SQL NULL
+    propagation.
+    """
+    toks = df.select(
         F.col(id_col),
-        F.transform(tokens_col(F.col(text_col)), lambda t: hash60(t)).alias("_hs"),
+        F.explode_outer(tokens_col(F.col(text_col))).alias("_t"),
     )
-    return hs.select(
-        F.col(id_col), simhash_from_hashes(F.col("_hs"), bits).alias("simhash")
+    hs = toks.select(F.col(id_col), hash60(F.col("_t")).alias("_h"))
+    bit_sums = [
+        F.sum(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1))).alias(f"_b{i}")
+        for i in range(bits)
+    ]
+    agg = hs.groupBy(id_col).agg(F.count(F.col("_h")).alias("_n"), *bit_sums)
+    v = F.lit(0).cast("long")
+    for i in range(bits):
+        v = v + F.when(
+            F.col(f"_b{i}") * 2 > F.col("_n"), F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return agg.select(
+        F.col(id_col),
+        F.when(F.col("_n") > 0, v).alias("simhash"),
     )
 
 

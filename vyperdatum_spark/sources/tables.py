@@ -54,8 +54,16 @@ def write_table(
     table_dir: str,
     mode: str = "overwrite",
     partition_by: tuple[str, ...] = (),
+    properties: dict | None = None,
 ) -> int:
-    """Commit ``df`` as a new snapshot; returns the snapshot id."""
+    """Commit ``df`` as a new snapshot; returns the snapshot id.
+
+    ``properties`` are free-form strings recorded on the snapshot
+    record — the analog of Iceberg snapshot summary properties.
+    Consumers use them to commit a source watermark ATOMICALLY with
+    the data (exactly-once incremental processing: the watermark and
+    the rows it covers land in one manifest commit).
+    """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode {mode!r} not in ('overwrite', 'append')")
     os.makedirs(table_dir, exist_ok=True)
@@ -77,6 +85,7 @@ def write_table(
         "ts": time.time(),
         "mode": mode,
         "dirs": dirs,
+        "properties": dict(properties or {}),
     })
     meta["current"] = snap_id
     _commit(table_dir, meta)
@@ -124,3 +133,46 @@ def incremental_rows(
     if not new:
         raise ValueError(f"no new data dirs between snapshots {since}..{until}")
     return spark.read.parquet(*[os.path.join(table_dir, d) for d in new])
+
+
+def consumer_watermark(out_dir: str, key: str = "source_until") -> int:
+    """Highest source snapshot id any committed output snapshot covers
+    (0 if the output table is empty) — the resume point."""
+    wm = 0
+    for s in _load(out_dir)["snapshots"]:
+        v = s.get("properties", {}).get(key)
+        if v is not None:
+            wm = max(wm, int(v))
+    return wm
+
+
+def process_incremental(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    transform_fn,
+    partition_by: tuple[str, ...] = (),
+) -> dict:
+    """Exactly-once incremental consumption of a snapshot table (the
+    north_rule's checkpointed Iceberg consumer): transform only the
+    rows the source appended since the last committed watermark, and
+    commit the result + the new watermark in ONE snapshot.
+
+    Crash anywhere before the output manifest commit leaves at most an
+    orphan (unreferenced) data dir; the watermark is unchanged, so the
+    rerun reprocesses the same source range and no committed snapshot
+    ever holds duplicates. A no-op call (nothing new) commits nothing.
+    """
+    src = _load(source_dir)
+    if src["current"] is None:
+        raise ValueError(f"{source_dir} has no committed snapshots")
+    since = consumer_watermark(out_dir)
+    until = src["current"]
+    if since >= until:
+        return {"since": since, "until": until, "skipped": True}
+    out_df = transform_fn(incremental_rows(spark, source_dir, since, until))
+    snap = write_table(
+        out_df, out_dir, mode="append", partition_by=partition_by,
+        properties={"source_since": str(since), "source_until": str(until)},
+    )
+    return {"snapshot": snap, "since": since, "until": until, "skipped": False}
