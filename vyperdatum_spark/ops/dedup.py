@@ -127,22 +127,30 @@ def minhash_sig_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     observed). With materialized columns each stage is evaluated once
     per row."""
     sh = shingled_df(df, id_col, text_col)
-    hs = sh.select(
-        F.col(id_col),
-        F.transform(F.col("_sh"), lambda s: hash60(s) % MERSENNE_P).alias("_hs"),
+    # explode + codegen'd min-aggregates: the per-row formulation (16
+    # interpreted F.transform/array_min passes over the shingle-hash
+    # array) is CodegenFallback; exploding once and taking
+    # whole-stage-codegen MIN((a*h+b) % P) per permutation keeps the
+    # md5 + permutation math JVM-side. Map-side partial aggregation
+    # collapses to one row per (doc, partition) pre-shuffle. A doc too
+    # short to shingle (explode_outer null) or with null text keeps
+    # the empty-set signature [P, P, ...] via the coalesce.
+    ex = sh.select(F.col(id_col), F.explode_outer(F.col("_sh")).alias("_s"))
+    hx = ex.select(
+        F.col(id_col), (hash60(F.col("_s")) % MERSENNE_P).alias("_h")
     )
-    sigs = [
+    mins = [
         F.coalesce(
-            F.array_min(
-                F.transform(
-                    F.col("_hs"), lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE_P
-                )
-            ),
-            F.lit(MERSENNE_P),
-        )
-        for a, b in PERMS
+            F.min((F.lit(a) * F.col("_h") + F.lit(b)) % MERSENNE_P),
+            F.lit(MERSENNE_P).cast("long"),
+        ).alias(f"_m{i}")
+        for i, (a, b) in enumerate(PERMS)
     ]
-    return hs.select(F.col(id_col), F.array(*sigs).alias("sig"))
+    agg = hx.groupBy(id_col).agg(*mins)
+    return agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_m{i}") for i in range(len(PERMS))]).alias("sig"),
+    )
 
 
 def minhash_sql(text: str = "text") -> str:

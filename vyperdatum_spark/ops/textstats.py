@@ -161,36 +161,55 @@ def fingerprint_df(df: DataFrame, id_col: str = "doc_id",
     inlined into the window lambda, interpreted HOF evaluation
     re-derives ALL k-gram md5s per window position — O(n²) md5 per
     document. Materializing `_kg` first makes each slice O(w)."""
+    from pyspark.sql import Window
+
     t = F.col(text_col)
     n_k = F.length(t) - (KGRAM - 1)
     # Spark's sequence(1, 0) yields a DESCENDING [1, 0] (unlike SQL
-    # generate_series, which is empty), and slice() on it raises at
-    # runtime — docs shorter than KGRAM+WINNOW_W-1 chars must fold to
-    # an empty k-gram/window list on BOTH engines (n_fp=0, null
-    # min/max), not crash the query
+    # generate_series, which is empty) — docs shorter than
+    # KGRAM+WINNOW_W-1 chars must fold to zero fingerprints on BOTH
+    # engines (n_fp=0, null min/max), not crash the query.
+    #
+    # Shape: explode k-gram positions, hash once per position, then a
+    # sliding-window MIN (WindowExec, JVM-side) instead of interpreted
+    # array_min-over-slice HOFs per window. The window's
+    # partitionBy(id) shuffle is reused by the groupBy(id) aggregate
+    # (same partitioning); rows with incomplete trailing windows are
+    # filtered before aggregation.
     empty = F.array().cast("array<int>")
     kseq = F.when(n_k >= 1, F.sequence(F.lit(1), n_k)).otherwise(empty)
-    kg = df.select(
+    ex = df.select(
         F.col(id_col),
-        F.transform(
-            kseq, lambda i: hash60(t.substr(i, F.lit(KGRAM)))
-        ).alias("_kg"),
+        (n_k - (WINNOW_W - 1)).alias("_nw"),
+        t.alias("_t"),
+        F.explode(kseq).alias("_i"),
     )
-    n_w = F.size(F.col("_kg")) - (WINNOW_W - 1)
-    wseq = F.when(n_w >= 1, F.sequence(F.lit(1), n_w)).otherwise(empty)
-    mins = kg.select(
-        F.col(id_col),
-        F.transform(
-            wseq,
-            lambda j: F.array_min(F.slice(F.col("_kg"), j, WINNOW_W)),
-        ).alias("_mins"),
+    hx = ex.select(
+        F.col(id_col), F.col("_nw"), F.col("_i"),
+        hash60(F.col("_t").substr(F.col("_i"), F.lit(KGRAM))).alias("_h"),
     )
-    fps = mins.select(F.col(id_col), F.array_distinct(F.col("_mins")).alias("_fps"))
-    return fps.select(
+    win = (
+        Window.partitionBy(id_col).orderBy("_i")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    mins = hx.select(
+        F.col(id_col), F.col("_nw"), F.col("_i"),
+        F.min("_h").over(win).alias("_wm"),
+    )
+    agg = (
+        mins.filter(F.col("_i") <= F.col("_nw"))
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("_wm").alias("_n_fp"),
+            F.min("_wm").alias("fp_min"),
+            F.max("_wm").alias("fp_max"),
+        )
+    )
+    return df.select(F.col(id_col)).join(agg, id_col, "left").select(
         F.col(id_col),
-        F.size(F.col("_fps")).cast("long").alias("n_fp"),
-        F.array_min(F.col("_fps")).alias("fp_min"),
-        F.array_max(F.col("_fps")).alias("fp_max"),
+        F.coalesce(F.col("_n_fp"), F.lit(0)).cast("long").alias("n_fp"),
+        F.col("fp_min"),
+        F.col("fp_max"),
     )
 
 
