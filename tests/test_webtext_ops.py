@@ -189,3 +189,42 @@ def test_multimodal_resize_plumbing(spark):
     out3 = multimodal.resize_media(df, "id", "payload", 64, 64) \
         .toPandas().set_index("id").sort_index()
     assert (out.resized_md5 != out3.resized_md5).all()
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    corpus = _docs_df(spark)
+    # benchmark shares doc 0's text exactly; doc 2 shares nothing
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog", "en")],
+        "doc_id long, text string, lang string",
+    )
+    got = (
+        dedup.decontaminate(corpus, bench)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert got.loc[0, "contamination"] == 1.0  # verbatim benchmark text
+    assert got.loc[3, "contamination"] == 1.0  # its exact dup
+    assert got.loc[2, "contamination"] == 0.0  # disjoint vocabulary
+    assert 0.0 < got.loc[1, "contamination"] < 1.0  # one word changed
+    # unshingleable doc: n_sh = 0, contamination null
+    assert got.loc[5, "n_sh"] == 0 and pd.isna(got.loc[5, "contamination"])
+
+
+def test_sample_stratified_deterministic_and_rated(spark):
+    rows = [(i, f"text {i}", ["en", "de", "fr"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    kept = textstats.sample_stratified(df).toPandas()
+    # determinism: the exact same kept set on a rerun
+    kept2 = textstats.sample_stratified(df).toPandas()
+    assert sorted(kept["doc_id"]) == sorted(kept2["doc_id"])
+    frac = kept.groupby("lang")["doc_id"].count() / 1000.0
+    # hash-uniform keys: observed rates within ±5pp of the targets
+    assert abs(frac["en"] - 0.5) < 0.05
+    assert abs(frac["de"] - 0.25) < 0.05
+    assert abs(frac["fr"] - 1.0) < 1e-9  # unlisted language keeps all
+    # python replica of the portable sample key
+    for _, r in kept.head(20).iterrows():
+        u = _h60(f"s42{r.doc_id}") / float(1 << 60)
+        assert abs(u - r.sample_u) < 1e-12

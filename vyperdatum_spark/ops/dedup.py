@@ -382,6 +382,76 @@ def simhash_hamming_pairs_sql(table: str = "documents",
     )
 
 
+# -------------------------------------------------- decontamination
+def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  w: int = SHINGLE_W) -> DataFrame:
+    """Benchmark decontamination: per corpus doc, the fraction of its
+    distinct word w-grams that appear anywhere in the benchmark set
+    (the standard eval-leak check in training-data pipelines).
+
+    Scale shape: the benchmark shingle set is small by definition
+    (eval suites, not corpora) ⇒ broadcast semi-join against the
+    exploded corpus shingles; one groupBy(doc) shuffle for the
+    counts. Never all-pairs, never per-row Python.
+
+    Output: (id, n_sh, n_hit, contamination∈[0,1] | null for
+    unshingleable docs).
+    """
+    bench_sh = (
+        shingled_df(benchmark, id_col, text_col, w)
+        .select(F.explode(F.col("_sh")).alias("_s"))
+        .distinct()
+    )
+    corp = (
+        shingled_df(corpus, id_col, text_col, w)
+        .select(F.col(id_col), F.explode(F.col("_sh")).alias("_s"))
+        .distinct()
+    )
+    totals = corp.groupBy(id_col).agg(F.count("*").alias("_t"))
+    hits = (
+        corp.join(F.broadcast(bench_sh), "_s")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("_h"))
+    )
+    out = (
+        corpus.select(F.col(id_col))
+        .join(totals, id_col, "left")
+        .join(hits, id_col, "left")
+    )
+    n_sh = F.coalesce(F.col("_t"), F.lit(0)).cast("long")
+    n_hit = F.coalesce(F.col("_h"), F.lit(0)).cast("long")
+    contamination = F.when(
+        n_sh > 0, n_hit.cast("double") / n_sh.cast("double")
+    )
+    return out.select(
+        F.col(id_col),
+        n_sh.alias("n_sh"),
+        n_hit.alias("n_hit"),
+        contamination.alias("contamination"),
+    )
+
+
+def decontaminate_sql(corpus: str, benchmark: str,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      w: int = SHINGLE_W) -> str:
+    sh = shingles_sql(text_col, w)
+    return (
+        f"WITH bench AS (SELECT DISTINCT unnest({sh}) AS _s FROM {benchmark}), "
+        f"corp AS (SELECT DISTINCT {id_col}, unnest({sh}) AS _s FROM {corpus}), "
+        f"tot AS (SELECT {id_col}, COUNT(*) AS _t FROM corp GROUP BY {id_col}), "
+        f"hit AS (SELECT {id_col}, COUNT(*) AS _h "
+        f"FROM corp JOIN bench USING (_s) GROUP BY {id_col}) "
+        f"SELECT d.{id_col}, CAST(coalesce(_t, 0) AS BIGINT) AS n_sh, "
+        f"CAST(coalesce(_h, 0) AS BIGINT) AS n_hit, "
+        f"CASE WHEN coalesce(_t, 0) > 0 THEN "
+        f"CAST(coalesce(_h, 0) AS DOUBLE) / CAST(coalesce(_t, 0) AS DOUBLE) "
+        f"END AS contamination "
+        f"FROM (SELECT {id_col} FROM {corpus}) d "
+        f"LEFT JOIN tot USING ({id_col}) LEFT JOIN hit USING ({id_col})"
+    )
+
+
 # ------------------------------------------------------ n-gram jaccard
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", lang_col: str = "lang",

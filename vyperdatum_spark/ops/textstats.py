@@ -229,3 +229,48 @@ def fingerprint_sql(table: str = "documents", id_col: str = "doc_id",
         f"SELECT {id_col}, CAST(len({fps}) AS BIGINT) AS n_fp, "
         f"list_min({fps}) AS fp_min, list_max({fps}) AS fp_max FROM {table}"
     )
+
+
+# ------------------------------------------------- stratified sampling
+# Per-language keep rates for corpus balancing (languages absent from
+# the map keep everything). Deterministic and PORTABLE: the sample key
+# is md5-derived (hash60 of seed||id, scaled to [0,1)), so any engine
+# — and any rerun — reproduces the exact kept set; no RNG state, no
+# shuffle, embarrassingly parallel at any scale.
+SAMPLE_RATES = {"en": 0.5, "de": 0.25}
+_U_SCALE = float(1 << 60)
+
+
+def sample_stratified(df: DataFrame, id_col: str = "doc_id",
+                      lang_col: str = "lang", seed: str = "s42",
+                      rates: dict | None = None) -> DataFrame:
+    """Hash-based stratified sampling: keep a row iff its uniform
+    sample key u = hash60(seed||id)/2^60 falls below its stratum's
+    rate. The standard down-sampling primitive of training-data
+    pipelines (dominant-language rebalancing)."""
+    rates = SAMPLE_RATES if rates is None else rates
+    u = hash60(
+        F.concat(F.lit(seed), F.col(id_col).cast("string"))
+    ) / F.lit(_U_SCALE)
+    rate = F.lit(1.0)
+    for lang, r in sorted(rates.items()):
+        rate = F.when(F.col(lang_col) == lang, F.lit(r)).otherwise(rate)
+    return (
+        df.select(F.col(id_col), F.col(lang_col), u.alias("sample_u"))
+        .filter(F.col("sample_u") < rate)
+    )
+
+
+def sample_stratified_sql(table: str = "documents", id_col: str = "doc_id",
+                          lang_col: str = "lang", seed: str = "s42",
+                          rates: dict | None = None) -> str:
+    rates = SAMPLE_RATES if rates is None else rates
+    h = hash60_sql(f"'{seed}' || CAST({id_col} AS VARCHAR)")
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {r!r}" for lang, r in sorted(rates.items())
+    )
+    return (
+        f"SELECT * FROM (SELECT {id_col}, {lang_col}, "
+        f"(CAST({h} AS DOUBLE) / {_U_SCALE!r}) AS sample_u FROM {table}) "
+        f"WHERE sample_u < CASE {lang_col} {whens} ELSE 1.0 END"
+    )

@@ -108,6 +108,13 @@ def queries() -> dict:
         "text_token_counts": lambda s, d: textstats.token_counts_df(_docs(s, d)),
         "doc_fingerprint": lambda s, d: textstats.fingerprint_df(_docs(s, d)),
         "multimodal_meta": q_multimodal_meta,
+        "decontaminate": lambda s, d: dedup.decontaminate(
+            _docs(s, d).filter(F.col("doc_id") % 97 != 0),
+            _docs(s, d).filter(F.col("doc_id") % 97 == 0),
+        ),
+        "sample_stratified": lambda s, d: textstats.sample_stratified(
+            _docs(s, d)
+        ),
     }
 
 
@@ -128,4 +135,9 @@ def oracle_sql() -> dict:
         "text_token_counts": textstats.token_counts_sql(),
         "doc_fingerprint": textstats.fingerprint_sql(),
         "multimodal_meta": multimodal_meta_sql(),
+        "decontaminate": dedup.decontaminate_sql(
+            corpus="(SELECT * FROM documents WHERE doc_id % 97 <> 0)",
+            benchmark="(SELECT * FROM documents WHERE doc_id % 97 = 0)",
+        ),
+        "sample_stratified": textstats.sample_stratified_sql(),
     }
