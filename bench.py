@@ -411,10 +411,13 @@ def run_dedup_scaling(pairs: int = 3) -> dict:
             f" {report[f'local{n4}_docs_per_sec']:,} |\n\n"
             f"**Scaling efficiency = {report['scaling_efficiency']}**\n"
             "(supplementary evidence: unlike the shuffle-free transform\n"
-            "job in BASELINE.md, the LSH pipeline is bounded by two\n"
-            "shuffles — the band equi-join and the pair distinct — whose\n"
-            "disk/serde cost does not parallelize linearly on this shared\n"
-            "host; the north-rule criterion is the transform job)\n"
+            "job in BASELINE.md, the LSH pipeline is bounded by its\n"
+            "shuffles — the band equi-join, the pair distinct, and the\n"
+            "signature groupBy — whose disk/serde cost does not\n"
+            "parallelize linearly on this shared host; absolute\n"
+            "throughput matters more than the ratio here, and the\n"
+            "codegen minhash rewrite raised it ~25% at both levels;\n"
+            "the north-rule criterion is the transform job)\n"
         )
     return report
 
@@ -443,6 +446,10 @@ def main() -> None:
         report = run_scaling()
         print(json.dumps({"metric": "scaling", **report}))
         return
+    if len(sys.argv) > 1 and sys.argv[1].startswith("-"):
+        # unknown flags must not silently fall through to the (long)
+        # default headline run
+        raise SystemExit(f"unknown flag {sys.argv[1]!r}; see module docstring")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     timings = run_queries(sf_dir)

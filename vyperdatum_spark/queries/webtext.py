@@ -81,6 +81,36 @@ def multimodal_meta_sql() -> str:
     )
 
 
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 JSON scalar functions (reference uses them only in the
+    web-API client, SURVEY §2.1 S10): build a deterministic JSON
+    metadata column and parse it back with the engine's JSON path
+    functions — round-trips construction + extraction + typed cast."""
+    js = F.concat(
+        F.lit('{"src":"'), F.col("source"),
+        F.lit('","n":'), F.col("n_chars").cast("string"),
+        F.lit(',"lang":"'), F.col("lang"), F.lit('"}'),
+    )
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id"),
+        F.get_json_object(js, "$.src").alias("meta_src"),
+        F.get_json_object(js, "$.n").cast("long").alias("meta_n"),
+        F.get_json_object(js, "$.lang").alias("meta_lang"),
+    )
+
+
+def json_extract_sql() -> str:
+    js = (
+        "('{\"src\":\"' || source || '\",\"n\":' || CAST(n_chars AS VARCHAR)"
+        " || ',\"lang\":\"' || lang || '\"}')"
+    )
+    return (
+        f"SELECT doc_id, json_extract_string({js}, '$.src') AS meta_src, "
+        f"CAST(json_extract_string({js}, '$.n') AS BIGINT) AS meta_n, "
+        f"json_extract_string({js}, '$.lang') AS meta_lang FROM documents"
+    )
+
+
 def queries() -> dict:
     return {
         "dedup_exact": lambda s, d: dedup.exact_duplicates(_docs_with_dups(s, d)),
@@ -115,6 +145,7 @@ def queries() -> dict:
         "sample_stratified": lambda s, d: textstats.sample_stratified(
             _docs(s, d)
         ),
+        "json_extract": q_json_extract,
     }
 
 
@@ -140,4 +171,5 @@ def oracle_sql() -> dict:
             benchmark="(SELECT * FROM documents WHERE doc_id % 97 = 0)",
         ),
         "sample_stratified": textstats.sample_stratified_sql(),
+        "json_extract": json_extract_sql(),
     }
