@@ -74,12 +74,34 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_custs_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join shape (the checkpoint-resume primitive, §2.8):
+    customers with no high-value order on file, counted per nation.
+    left_anti shuffles on the key once; AQE converts to broadcast when
+    the filtered orders key set is small enough, and the price filter
+    is pushed to the parquet scan."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000.0)
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
 def queries() -> dict:
     return {
         "rel_pricing_summary": q_pricing_summary,
         "rel_top_orders_per_cust": q_top_orders_per_cust,
         "rel_nation_revenue": q_nation_revenue,
         "rel_events_hourly": q_events_hourly,
+        "rel_custs_without_orders": q_custs_without_orders,
     }
 
 
@@ -112,5 +134,13 @@ def oracle_sql() -> dict:
             "SELECT date_trunc('hour', ts) AS hour, event_type, "
             "COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value "
             "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "rel_custs_without_orders": (
+            "SELECT n_name, COUNT(*) AS n_custs, "
+            "ROUND(SUM(c_acctbal), 2) AS sum_acctbal "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders "
+            "WHERE o_custkey = c_custkey AND o_totalprice > 450000.0) "
+            "GROUP BY n_name ORDER BY n_name"
         ),
     }
