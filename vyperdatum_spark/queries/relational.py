@@ -95,6 +95,22 @@ def q_custs_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming (§2.8) window/watermark machinery under the
+    oracle gate: AvailableNow drain of the static events table through
+    a watermarked tumbling-window aggregation; append mode emits
+    exactly the windows with end ≤ max(ts) − 1h, which the batch-SQL
+    oracle reproduces in closed form."""
+    import tempfile
+
+    from ..streaming import windows as sw
+
+    work = tempfile.mkdtemp(prefix="stream_ev_")
+    return sw.stream_events_hourly(
+        spark, f"{sf_dir}/events.parquet", work
+    )
+
+
 def queries() -> dict:
     return {
         "rel_pricing_summary": q_pricing_summary,
@@ -102,6 +118,7 @@ def queries() -> dict:
         "rel_nation_revenue": q_nation_revenue,
         "rel_events_hourly": q_events_hourly,
         "rel_custs_without_orders": q_custs_without_orders,
+        "stream_events_hourly": q_stream_events_hourly,
     }
 
 
@@ -142,5 +159,13 @@ def oracle_sql() -> dict:
             "WHERE NOT EXISTS (SELECT 1 FROM orders "
             "WHERE o_custkey = c_custkey AND o_totalprice > 450000.0) "
             "GROUP BY n_name ORDER BY n_name"
+        ),
+        "stream_events_hourly": (
+            "SELECT date_trunc('hour', ts) AS window_start, event_type, "
+            "COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value "
+            "FROM events "
+            "GROUP BY 1, 2 "
+            "HAVING date_trunc('hour', MIN(ts)) + INTERVAL 1 HOUR <= "
+            "(SELECT MAX(ts) FROM events) - INTERVAL 1 HOUR"
         ),
     }

@@ -62,3 +62,66 @@ def stream_hourly_counts(
     )
     q.awaitTermination()
     return q
+
+
+def stream_events_hourly(
+    spark: SparkSession,
+    events_dir: str,
+    work_dir: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked hourly (window × event_type) aggregation of the
+    events table run AS A STREAM (AvailableNow over the parquet file
+    source) and read back from the append-mode sink.
+
+    Append-mode emission is deterministic on a drained static input:
+    exactly the windows whose end ≤ max(ts) − watermark are finalized
+    and emitted once; trailing windows stay in (discarded) state. That
+    cutoff is closed-form, so this streaming pipeline is
+    oracle-checkable against batch SQL — the correctness contract for
+    the watermark/window machinery itself.
+    """
+    import os
+
+    out_dir = f"{work_dir}/out"
+    ck_dir = f"{work_dir}/ck"
+    src_dir = f"{work_dir}/src"
+    # the file-stream source requires a DIRECTORY; the driver tables
+    # are single parquet files — expose the file through a symlink dir
+    # (no data copy)
+    if not os.path.isdir(events_dir):
+        os.makedirs(src_dir, exist_ok=True)
+        link = os.path.join(src_dir, os.path.basename(events_dir))
+        if not os.path.exists(link):
+            os.symlink(events_dir, link)
+        stream_src = src_dir
+    else:
+        stream_src = events_dir
+    schema = spark.read.parquet(events_dir).schema
+    ev = spark.readStream.schema(schema).parquet(stream_src)
+    # the table stores wall-clock TIMESTAMP_NTZ; watermarks require
+    # TIMESTAMP — cast in, window, cast the window start back out (an
+    # identity wall-clock round trip in any fixed-offset session tz)
+    ev = ev.withColumn("_ts", F.col("ts").cast("timestamp"))
+    agg = (
+        ev.withWatermark("_ts", watermark)
+        .groupBy(F.window("_ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
