@@ -111,6 +111,21 @@ def json_extract_sql() -> str:
     )
 
 
+def q_stream_first_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful streaming operator (applyInPandasWithState,
+    §2.8) under the oracle gate: drain documents as a stream, keyed
+    state per source emitting (first doc_id, batch count) — equals the
+    per-key batch aggregate on a single-batch drain."""
+    import tempfile
+
+    from ..streaming import stateful
+
+    work = tempfile.mkdtemp(prefix="stream_first_")
+    return stateful.stream_first_per_key(
+        spark, f"{sf_dir}/documents.parquet", work, "source", "doc_id"
+    )
+
+
 def queries() -> dict:
     return {
         "dedup_exact": lambda s, d: dedup.exact_duplicates(_docs_with_dups(s, d)),
@@ -146,6 +161,7 @@ def queries() -> dict:
             _docs(s, d)
         ),
         "json_extract": q_json_extract,
+        "stream_first_per_source": q_stream_first_per_source,
     }
 
 
@@ -172,4 +188,9 @@ def oracle_sql() -> dict:
         ),
         "sample_stratified": textstats.sample_stratified_sql(),
         "json_extract": json_extract_sql(),
+        "stream_first_per_source": (
+            "SELECT source AS key, MIN(doc_id) AS first_id, "
+            "CAST(COUNT(*) AS BIGINT) AS n_in_batch "
+            "FROM documents GROUP BY source"
+        ),
     }

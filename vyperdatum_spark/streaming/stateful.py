@@ -90,3 +90,81 @@ def stream_dedup_urls(
     )
     q.awaitTermination()
     return q
+
+
+FIRST_OUT_SCHEMA = StructType([
+    StructField("key", StringType()),
+    StructField("first_id", LongType()),
+    StructField("n_in_batch", LongType()),
+])
+
+
+def _first_fn(key, pdf_iter, state: GroupState):
+    """Emit (key, min id, row count) the first batch the key appears;
+    later batches only bump state — same state-store mechanics as the
+    URL dedup, over a generic (key, id) projection."""
+    n = 0
+    best = None
+    for pdf in pdf_iter:
+        n += len(pdf)
+        if len(pdf):
+            m = int(pdf["_id"].min())
+            best = m if best is None else min(best, m)
+    if state.exists:
+        (seen,) = state.get
+        state.update((seen + n,))
+        return iter(())
+    state.update((n,))
+    return iter([pd.DataFrame({
+        "key": [key[0]], "first_id": [best], "n_in_batch": [n],
+    })])
+
+
+def stream_first_per_key(
+    spark: SparkSession,
+    table_dir: str,
+    work_dir: str,
+    key_col: str,
+    id_col: str,
+) -> "DataFrame":
+    """applyInPandasWithState over a drained static table: per key,
+    the minimum id and the row count of the batch that introduced the
+    key. On a single-batch drain (one source file) this equals the
+    batch aggregate MIN(id)/COUNT(*) per key — closed-form, so the
+    stateful-operator machinery (keyed state store, append emission)
+    is oracle-checkable; cross-batch behavior is covered by the URL
+    dedup pytest."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    out_dir = f"{work_dir}/out"
+    ck_dir = f"{work_dir}/ck"
+    src_dir = f"{work_dir}/src"
+    if not os.path.isdir(table_dir):
+        os.makedirs(src_dir, exist_ok=True)
+        link = os.path.join(src_dir, os.path.basename(table_dir))
+        if not os.path.exists(link):
+            os.symlink(table_dir, link)
+        stream_src = src_dir
+    else:
+        stream_src = table_dir
+    schema = spark.read.parquet(table_dir).schema
+    rows = (
+        spark.readStream.schema(schema).parquet(stream_src)
+        .select(F.col(key_col).alias("key"), F.col(id_col).alias("_id"))
+    )
+    firsts = rows.groupBy("key").applyInPandasWithState(
+        _first_fn, FIRST_OUT_SCHEMA, STATE_SCHEMA, "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        firsts.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
