@@ -38,6 +38,8 @@ HEADLINE = [
     "ann_bruteforce_topk",
     "text_quality",
     "doc_fingerprint",
+    "decontaminate",
+    "sample_stratified",
     "rel_pricing_summary",
     "rel_nation_revenue",
     "rel_top_orders_per_cust",

@@ -398,27 +398,41 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
     Output: (id, n_sh, n_hit, contamination∈[0,1] | null for
     unshingleable docs).
     """
+    # shingles are compared by their 60-bit md5 hash, not the string:
+    # the distinct + join then shuffle 8-byte longs instead of ~50-char
+    # strings (≈3× wall measured), and both engines derive the hash
+    # identically so the (astronomically rare) collision is part of
+    # the spec, exactly as in MinHash
+    # explode_OUTER + null filter, not inner explode: for a
+    # CodegenFallback generator input (the interpreted shingle HOF)
+    # the codegen'd inner-explode path re-evaluates the input per
+    # OUTPUT element — measured 8 s vs 0.4 s on 258k shingles; outer
+    # generate evaluates it once per row. Same trick as minhash.
     bench_sh = (
         shingled_df(benchmark, id_col, text_col, w)
-        .select(F.explode(F.col("_sh")).alias("_s"))
+        .select(F.explode_outer(F.col("_sh")).alias("_raw"))
+        .filter(F.col("_raw").isNotNull())
+        .select(hash60(F.col("_raw")).alias("_s"))
         .distinct()
+        .withColumn("_hit", F.lit(1))
     )
     corp = (
         shingled_df(corpus, id_col, text_col, w)
-        .select(F.col(id_col), F.explode(F.col("_sh")).alias("_s"))
+        .select(F.col(id_col), F.explode_outer(F.col("_sh")).alias("_raw"))
+        .filter(F.col("_raw").isNotNull())
+        .select(F.col(id_col), hash60(F.col("_raw")).alias("_s"))
         .distinct()
     )
-    totals = corp.groupBy(id_col).agg(F.count("*").alias("_t"))
-    hits = (
-        corp.join(F.broadcast(bench_sh), "_s")
+    # single pass: a broadcast LEFT join marks benchmark shingles, one
+    # aggregate produces both counts — totals and hits as separate
+    # aggregations would recompute the whole explode+distinct lineage
+    # twice (measured 2× wall time) and add a merge join
+    agg = (
+        corp.join(F.broadcast(bench_sh), "_s", "left")
         .groupBy(id_col)
-        .agg(F.count("*").alias("_h"))
+        .agg(F.count("*").alias("_t"), F.count("_hit").alias("_h"))
     )
-    out = (
-        corpus.select(F.col(id_col))
-        .join(totals, id_col, "left")
-        .join(hits, id_col, "left")
-    )
+    out = corpus.select(F.col(id_col)).join(agg, id_col, "left")
     n_sh = F.coalesce(F.col("_t"), F.lit(0)).cast("long")
     n_hit = F.coalesce(F.col("_h"), F.lit(0)).cast("long")
     contamination = F.when(
@@ -435,7 +449,7 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
 def decontaminate_sql(corpus: str, benchmark: str,
                       id_col: str = "doc_id", text_col: str = "text",
                       w: int = SHINGLE_W) -> str:
-    sh = shingles_sql(text_col, w)
+    sh = f"list_transform({shingles_sql(text_col, w)}, s -> {hash60_sql('s')})"
     return (
         f"WITH bench AS (SELECT DISTINCT unnest({sh}) AS _s FROM {benchmark}), "
         f"corp AS (SELECT DISTINCT {id_col}, unnest({sh}) AS _s FROM {corpus}), "

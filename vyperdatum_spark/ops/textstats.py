@@ -178,12 +178,17 @@ def fingerprint_df(df: DataFrame, id_col: str = "doc_id",
     # filtered before aggregation.
     empty = F.array().cast("array<int>")
     kseq = F.when(n_k >= 1, F.sequence(F.lit(1), n_k)).otherwise(empty)
+    # explode_OUTER: the codegen'd inner-explode path re-evaluates its
+    # input expression per OUTPUT element — for a length-n sequence
+    # that is O(n²) ints per doc (same trap as the shingle explode in
+    # dedup.decontaminate, measured 20× there). Outer + null filter
+    # evaluates once per row; empty docs drop at the filter.
     ex = df.select(
         F.col(id_col),
         (n_k - (WINNOW_W - 1)).alias("_nw"),
         t.alias("_t"),
-        F.explode(kseq).alias("_i"),
-    )
+        F.explode_outer(kseq).alias("_i"),
+    ).filter(F.col("_i").isNotNull())
     hx = ex.select(
         F.col(id_col), F.col("_nw"), F.col("_i"),
         hash60(F.col("_t").substr(F.col("_i"), F.lit(KGRAM))).alias("_h"),
