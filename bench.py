@@ -11,10 +11,14 @@ prune the computed columns out of the timing.
 
 Scaling mode (BASELINE.md two-cluster-size protocol):
     python bench.py --scaling
-generates a seeded 2M-row pages table once, then runs the SAME
-transform job in fresh subprocesses at local[8] and local[32],
-reporting rows/s at both and the scaling efficiency
+generates a seeded 32M-row pages table once, then runs the SAME
+transform job in fresh subprocesses at local[4] and local[16]
+(alternating pairs + a pure-CPU substrate control — see SCALE_N
+comment), reporting rows/s at both and the scaling efficiency
 (= throughput ratio / core ratio); writes BENCH/BASELINE.md.
+
+Dedup-pipeline variant: --dedup-scale (writes BENCH/DEDUP.md).
+One-level child (peak-throughput runs): --scaling-child <pages> <N>.
 """
 
 from __future__ import annotations
