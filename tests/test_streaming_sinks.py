@@ -151,3 +151,26 @@ def test_stream_stateful_url_dedup(spark, tmp_path):
     assert out2.count() == 150  # 100 + the 50 new urls only
     dups = out2.groupBy("url").count().filter("count > 1").count()
     assert dups == 0
+
+
+def test_stream_drain_empty_emission_yields_empty_df(spark, tmp_path):
+    """A drained stream whose watermark finalizes NO windows must
+    return an empty DataFrame (schema from the query), not crash on
+    schema inference over a data-less sink directory."""
+    import pandas as pd
+
+    from vyperdatum_spark.streaming import windows as sw
+
+    src = str(tmp_path / "ev.parquet")
+    # 30-minute span < watermark(1h) + window(1h): nothing finalizes
+    pdf = pd.DataFrame({
+        "ts": pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 00:30:00"]),
+        "event_type": ["a", "b"],
+        "value": [1.0, 2.0],
+    })
+    spark.createDataFrame(pdf).write.parquet(src)
+    out = sw.stream_events_hourly(spark, src, str(tmp_path / "work"))
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "window_start", "event_type", "n_events", "sum_value"
+    ]

@@ -253,9 +253,10 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str,
     is docs × (bits+1) longs — negligible at any scale. Assumes
     ``id_col`` is unique per document (same-id rows would merge).
 
-    A doc with NULL text yields NULL simhash (token count 0 — split()
-    of any non-null text has ≥1 element), matching SQL NULL
-    propagation.
+    A doc with NULL text yields simhash 0 (token count 0 — split() of
+    any non-null text has ≥1 element, so _n = 0 identifies NULL text
+    exactly): every majority vote fails, matching both the previous
+    per-row formulation and the SQL oracle's CASE…ELSE 0 sum.
     """
     toks = df.select(
         F.col(id_col),
@@ -274,7 +275,8 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str,
         ).otherwise(F.lit(0).cast("long"))
     return agg.select(
         F.col(id_col),
-        F.when(F.col("_n") > 0, v).alias("simhash"),
+        F.when(F.col("_n") > 0, v).otherwise(F.lit(0).cast("long"))
+        .alias("simhash"),
     )
 
 

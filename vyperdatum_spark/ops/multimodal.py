@@ -43,6 +43,8 @@ def media_meta(df: DataFrame, id_col: str, bin_col: str,
     portable to SQL engines whose hash functions are VARCHAR-only
     (DuckDB's md5 rejects BLOB; used by the oracle gate).
     """
+    if hash_mode not in ("raw", "hex"):
+        raise ValueError(f"hash_mode {hash_mode!r} not in ('raw', 'hex')")
     b = F.col(bin_col)
     sniff = F.lit("bin")
     for magic, kind in MAGIC.items():

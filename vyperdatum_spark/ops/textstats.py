@@ -260,10 +260,9 @@ def sample_stratified(df: DataFrame, id_col: str = "doc_id",
     rate = F.lit(1.0)
     for lang, r in sorted(rates.items()):
         rate = F.when(F.col(lang_col) == lang, F.lit(r)).otherwise(rate)
-    return (
-        df.select(F.col(id_col), F.col(lang_col), u.alias("sample_u"))
-        .filter(F.col("sample_u") < rate)
-    )
+    # keep the FULL row (+ sample_u): a sampler that projects away the
+    # document would force every caller into a re-join to recover it
+    return df.withColumn("sample_u", u).filter(F.col("sample_u") < rate)
 
 
 def sample_stratified_sql(table: str = "documents", id_col: str = "doc_id",
@@ -275,7 +274,7 @@ def sample_stratified_sql(table: str = "documents", id_col: str = "doc_id",
         f"WHEN '{lang}' THEN {r!r}" for lang, r in sorted(rates.items())
     )
     return (
-        f"SELECT * FROM (SELECT {id_col}, {lang_col}, "
+        f"SELECT * FROM (SELECT *, "
         f"(CAST({h} AS DOUBLE) / {_U_SCALE!r}) AS sample_u FROM {table}) "
         f"WHERE sample_u < CASE {lang_col} {whens} ELSE 1.0 END"
     )

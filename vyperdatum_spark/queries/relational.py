@@ -101,13 +101,11 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     a watermarked tumbling-window aggregation; append mode emits
     exactly the windows with end ≤ max(ts) − 1h, which the batch-SQL
     oracle reproduces in closed form."""
-    import tempfile
-
     from ..streaming import windows as sw
 
-    work = tempfile.mkdtemp(prefix="stream_ev_")
     return sw.stream_events_hourly(
-        spark, f"{sf_dir}/events.parquet", work
+        spark, f"{sf_dir}/events.parquet",
+        sw.query_work_dir("events_hourly"),
     )
 
 

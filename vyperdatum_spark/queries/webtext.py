@@ -116,13 +116,12 @@ def q_stream_first_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     §2.8) under the oracle gate: drain documents as a stream, keyed
     state per source emitting (first doc_id, batch count) — equals the
     per-key batch aggregate on a single-batch drain."""
-    import tempfile
-
     from ..streaming import stateful
+    from ..streaming.windows import query_work_dir
 
-    work = tempfile.mkdtemp(prefix="stream_first_")
     return stateful.stream_first_per_key(
-        spark, f"{sf_dir}/documents.parquet", work, "source", "doc_id"
+        spark, f"{sf_dir}/documents.parquet",
+        query_work_dir("first_per_source"), "source", "doc_id"
     )
 
 

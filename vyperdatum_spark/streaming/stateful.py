@@ -134,37 +134,18 @@ def stream_first_per_key(
     stateful-operator machinery (keyed state store, append emission)
     is oracle-checkable; cross-batch behavior is covered by the URL
     dedup pytest."""
-    import os
-
     from pyspark.sql import functions as F
 
-    out_dir = f"{work_dir}/out"
-    ck_dir = f"{work_dir}/ck"
-    src_dir = f"{work_dir}/src"
-    if not os.path.isdir(table_dir):
-        os.makedirs(src_dir, exist_ok=True)
-        link = os.path.join(src_dir, os.path.basename(table_dir))
-        if not os.path.exists(link):
-            os.symlink(table_dir, link)
-        stream_src = src_dir
-    else:
-        stream_src = table_dir
-    schema = spark.read.parquet(table_dir).schema
-    rows = (
-        spark.readStream.schema(schema).parquet(stream_src)
-        .select(F.col(key_col).alias("key"), F.col(id_col).alias("_id"))
-    )
-    firsts = rows.groupBy("key").applyInPandasWithState(
-        _first_fn, FIRST_OUT_SCHEMA, STATE_SCHEMA, "append",
-        GroupStateTimeout.NoTimeout,
-    )
-    q = (
-        firsts.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", ck_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    from .windows import drain_to_parquet
+
+    def build(rows):
+        return (
+            rows.select(F.col(key_col).alias("key"), F.col(id_col).alias("_id"))
+            .groupBy("key")
+            .applyInPandasWithState(
+                _first_fn, FIRST_OUT_SCHEMA, STATE_SCHEMA, "append",
+                GroupStateTimeout.NoTimeout,
+            )
+        )
+
+    return drain_to_parquet(spark, table_dir, work_dir, build)

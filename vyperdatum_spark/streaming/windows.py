@@ -17,6 +17,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -64,6 +66,62 @@ def stream_hourly_counts(
     return q
 
 
+def drain_to_parquet(
+    spark: SparkSession,
+    table_dir: str,
+    work_dir: str,
+    build_query,
+) -> DataFrame:
+    """Shared AvailableNow drain harness: stream ``table_dir`` (a
+    parquet file OR directory — the file source requires a directory,
+    so single files are exposed through a symlink dir, no copy)
+    through ``build_query(streaming_df) -> streaming DataFrame``, sink
+    to parquet under ``work_dir``, and read the sink back.
+
+    The read-back passes the query's schema explicitly: a sink that
+    emitted zero rows holds only ``_spark_metadata`` and schema
+    inference would throw where 'empty result' is the correct answer.
+    """
+    import os
+
+    out_dir = f"{work_dir}/out"
+    ck_dir = f"{work_dir}/ck"
+    src_dir = f"{work_dir}/src"
+    if not os.path.isdir(table_dir):
+        os.makedirs(src_dir, exist_ok=True)
+        link = os.path.join(src_dir, os.path.basename(table_dir))
+        if not os.path.exists(link):
+            os.symlink(table_dir, link)
+        stream_src = src_dir
+    else:
+        stream_src = table_dir
+    schema = spark.read.parquet(table_dir).schema
+    agg = build_query(spark.readStream.schema(schema).parquet(stream_src))
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(agg.schema).parquet(out_dir)
+
+
+def query_work_dir(name: str) -> str:
+    """A deterministic, reusable scratch dir for a drain query: wiped
+    and recreated per call so repeated gate/bench runs don't
+    accumulate checkpoint/output garbage in /tmp."""
+    import shutil
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), f"vyspark_drain_{name}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 def stream_events_hourly(
     spark: SparkSession,
     events_dir: str,
@@ -81,47 +139,25 @@ def stream_events_hourly(
     oracle-checkable against batch SQL — the correctness contract for
     the watermark/window machinery itself.
     """
-    import os
+    def build(ev: DataFrame) -> DataFrame:
+        # the table stores wall-clock TIMESTAMP_NTZ; watermarks
+        # require TIMESTAMP — cast in, window, cast the window start
+        # back out. The round trip is a wall-clock identity only in a
+        # WHOLE-HOUR-offset session timezone (windows align to epoch
+        # instants); session.py pins UTC, and fractional-offset or
+        # DST zones would shift window boundaries vs the NTZ oracle.
+        ev = ev.withColumn("_ts", F.col("ts").cast("timestamp"))
+        return (
+            ev.withWatermark("_ts", watermark)
+            .groupBy(F.window("_ts", "1 hour").alias("w"), F.col("event_type"))
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+            .select(
+                F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+                "event_type", "n_events", "sum_value",
+            )
+        )
 
-    out_dir = f"{work_dir}/out"
-    ck_dir = f"{work_dir}/ck"
-    src_dir = f"{work_dir}/src"
-    # the file-stream source requires a DIRECTORY; the driver tables
-    # are single parquet files — expose the file through a symlink dir
-    # (no data copy)
-    if not os.path.isdir(events_dir):
-        os.makedirs(src_dir, exist_ok=True)
-        link = os.path.join(src_dir, os.path.basename(events_dir))
-        if not os.path.exists(link):
-            os.symlink(events_dir, link)
-        stream_src = src_dir
-    else:
-        stream_src = events_dir
-    schema = spark.read.parquet(events_dir).schema
-    ev = spark.readStream.schema(schema).parquet(stream_src)
-    # the table stores wall-clock TIMESTAMP_NTZ; watermarks require
-    # TIMESTAMP — cast in, window, cast the window start back out (an
-    # identity wall-clock round trip in any fixed-offset session tz)
-    ev = ev.withColumn("_ts", F.col("ts").cast("timestamp"))
-    agg = (
-        ev.withWatermark("_ts", watermark)
-        .groupBy(F.window("_ts", "1 hour").alias("w"), F.col("event_type"))
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-        )
-        .select(
-            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
-            "event_type", "n_events", "sum_value",
-        )
-    )
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", ck_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    return drain_to_parquet(spark, events_dir, work_dir, build)
