@@ -228,3 +228,30 @@ def test_sample_stratified_deterministic_and_rated(spark):
     for _, r in kept.head(20).iterrows():
         u = _h60(f"s42{r.doc_id}") / float(1 << 60)
         assert abs(u - r.sample_u) < 1e-12
+
+
+def test_multi_table_lsh_recall_dominates_single(spark):
+    """TABLE_PLANES[0] is the single-table plane set, so the
+    multi-table candidate set is a superset — and top-k-by-exact-score
+    recall is monotone in the candidate set."""
+    rng = np.random.default_rng(21)
+    # planted near-duplicate clusters: 20 bases x 4 noisy copies —
+    # random gaussians have no near neighbors at all (every 8-bit
+    # bucket distinct), so recall would be vacuously 0/0
+    base = rng.standard_normal((20, similarity.EMB_DIM))
+    vecs = np.concatenate(
+        [base + 0.05 * rng.standard_normal(base.shape) for _ in range(4)]
+    ).astype(np.float32)
+    df = spark.createDataFrame(
+        [(int(i), v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    nq, k = 5, 3
+    bf = similarity.ann_bruteforce_topk(df, n_queries=nq, k=k).toPandas()
+    single = similarity.ann_lsh_topk(df, n_queries=nq, k=k).toPandas()
+    multi = similarity.ann_lsh_multi_topk(df, n_queries=nq, k=k).toPandas()
+    truth = set(map(tuple, bf[["query_id", "neighbor_id"]].to_numpy()))
+    r_single = len(set(map(tuple, single[["query_id", "neighbor_id"]].to_numpy())) & truth)
+    r_multi = len(set(map(tuple, multi[["query_id", "neighbor_id"]].to_numpy())) & truth)
+    assert r_multi >= r_single
+    assert r_multi > 0

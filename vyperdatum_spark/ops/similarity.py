@@ -6,8 +6,9 @@
 - random-hyperplane LSH (the scale path): 8 seeded hyperplanes →
   sign-bit bucket (pure column math), equi-join on bucket, top-k
   within bucket. At 10^12 rows the bucket join replaces the O(n²)
-  cross join; multiple hash tables would raise recall (single table
-  here keeps the oracle exact).
+  cross join. ``ann_lsh_multi_topk`` runs N_TABLES independent
+  hyperplane tables and unions candidates — the standard recall
+  lever (P(miss) decays exponentially in tables) — still oracle-exact.
 
 Float discipline: embeddings are float32 on disk; every product is
 computed after an explicit cast to double, and accumulation is
@@ -23,6 +24,10 @@ from pyspark.sql import functions as F
 
 N_PLANES = 8
 EMB_DIM = 64
+# multi-table LSH: L independent hyperplane sets; a pair missed by one
+# table's buckets is recovered by another — P(miss) decays
+# exponentially in L, the standard recall lever
+N_TABLES = 3
 
 
 def _hyperplanes(dim: int = EMB_DIM, n: int = N_PLANES, seed: int = 7):
@@ -31,6 +36,7 @@ def _hyperplanes(dim: int = EMB_DIM, n: int = N_PLANES, seed: int = 7):
 
 
 PLANES = _hyperplanes()
+TABLE_PLANES = [_hyperplanes(seed=7 + t) for t in range(N_TABLES)]
 
 
 def dot_col(a: Column, b: Column) -> Column:
@@ -108,10 +114,10 @@ def ann_bruteforce_topk_sql(table: str = "embeddings", id_col: str = "vec_id",
 
 
 # ------------------------------------------------------------------ lsh
-def lsh_bucket_col(emb: Column) -> Column:
+def lsh_bucket_col(emb: Column, planes=None) -> Column:
     """Sign-bit bucket from the seeded hyperplanes (pure column math)."""
     v = F.lit(0).cast("long")
-    for i, plane in enumerate(PLANES):
+    for i, plane in enumerate(PLANES if planes is None else planes):
         dot = F.lit(0.0)
         for j, wgt in enumerate(plane):
             dot = dot + F.lit(float(wgt)) * F.element_at(emb, j + 1).cast("double")
@@ -119,9 +125,9 @@ def lsh_bucket_col(emb: Column) -> Column:
     return v
 
 
-def lsh_bucket_sql(emb: str) -> str:
+def lsh_bucket_sql(emb: str, planes=None) -> str:
     parts = []
-    for i, plane in enumerate(PLANES):
+    for i, plane in enumerate(PLANES if planes is None else planes):
         dot = " + ".join(
             f"{float(w)!r} * CAST({emb}[{j + 1}] AS DOUBLE)"
             for j, w in enumerate(plane)
@@ -176,6 +182,86 @@ def ann_lsh_topk_sql(table: str = "embeddings", id_col: str = "vec_id",
         f"scored AS (SELECT query_id, neighbor_id, {cos} AS cos, "
         f"ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY {cos} DESC, neighbor_id) AS rank "
         f"FROM q JOIN c USING (bucket) WHERE neighbor_id <> query_id) "
+        f"SELECT query_id, neighbor_id, rank, ROUND(cos, 6) AS cos_r "
+        f"FROM scored WHERE rank <= {k}"
+    )
+
+
+def ann_lsh_multi_topk(df: DataFrame, id_col: str = "vec_id",
+                       emb_col: str = "embedding",
+                       n_queries: int = 10, k: int = 3) -> DataFrame:
+    """Multi-table LSH top-k: candidates share the query's bucket in
+    ANY of the N_TABLES independent hyperplane tables (union →
+    distinct pair → exact cosine re-rank). Raises recall over the
+    single-table variant at the cost of L bucket joins — the
+    production configuration; scale shape stays bucketed equi-joins,
+    never all-pairs."""
+    # stage the three 512-term bucket expressions as real columns
+    # BEFORE the explode: inlined into the struct array they are
+    # re-evaluated per output element and balloon the codegen/task
+    # binary (OOMs a default-1g driver); staged, the explode input is
+    # three column references
+    staged = df.select(
+        F.col(id_col), F.col(emb_col), norm_col(F.col(emb_col)).alias("nrm"),
+        *[
+            lsh_bucket_col(F.col(emb_col), TABLE_PLANES[t]).alias(f"_b{t}")
+            for t in range(N_TABLES)
+        ],
+    )
+    tb = F.explode(F.array(*[
+        F.struct(F.lit(t).alias("t"), F.col(f"_b{t}").alias("bucket"))
+        for t in range(N_TABLES)
+    ])).alias("tb")
+    with_b = staged.select(
+        F.col(id_col), F.col(emb_col), F.col("nrm"), tb
+    ).select(id_col, emb_col, "nrm", "tb.t", "tb.bucket")
+    q = with_b.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb"),
+        F.col("nrm").alias("q_norm"), "t", "bucket",
+    )
+    c = with_b.select(
+        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("c_emb"),
+        F.col("nrm").alias("c_norm"), "t", "bucket",
+    )
+    pairs = (
+        q.join(c, ["t", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "q_emb", "c_emb", "q_norm", "c_norm")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cos = dot_col(F.col("q_emb"), F.col("c_emb")) / (
+        F.col("q_norm") * F.col("c_norm")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos_r"))
+    )
+
+
+def ann_lsh_multi_topk_sql(table: str = "embeddings", id_col: str = "vec_id",
+                           emb_col: str = "embedding",
+                           n_queries: int = 10, k: int = 3) -> str:
+    cos = cosine_sql("q_emb", "c_emb")
+    buckets = " UNION ALL ".join(
+        f"SELECT {id_col}, {emb_col}, {t} AS t, "
+        f"{lsh_bucket_sql(emb_col, TABLE_PLANES[t])} AS bucket FROM {table}"
+        for t in range(N_TABLES)
+    )
+    return (
+        f"WITH wb AS ({buckets}), "
+        f"q AS (SELECT {id_col} AS query_id, {emb_col} AS q_emb, t, bucket "
+        f"FROM wb WHERE {id_col} < {n_queries}), "
+        f"c AS (SELECT {id_col} AS neighbor_id, {emb_col} AS c_emb, t, bucket FROM wb), "
+        f"pairs AS (SELECT DISTINCT query_id, neighbor_id, q_emb, c_emb "
+        f"FROM q JOIN c USING (t, bucket) WHERE neighbor_id <> query_id), "
+        f"scored AS (SELECT query_id, neighbor_id, {cos} AS cos, "
+        f"ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY {cos} DESC, neighbor_id) AS rank "
+        f"FROM pairs) "
         f"SELECT query_id, neighbor_id, rank, ROUND(cos, 6) AS cos_r "
         f"FROM scored WHERE rank <= {k}"
     )

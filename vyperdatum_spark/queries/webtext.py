@@ -146,6 +146,9 @@ def queries() -> dict:
             _embs(s, d)
         ),
         "ann_lsh_topk": lambda s, d: similarity.ann_lsh_topk(_embs(s, d)),
+        "ann_lsh_multi_topk": lambda s, d: similarity.ann_lsh_multi_topk(
+            _embs(s, d)
+        ),
         "ann_ivf_topk": lambda s, d: similarity.ann_ivf_topk(_embs(s, d)),
         "text_quality": lambda s, d: textstats.quality_df(_docs(s, d)),
         "text_langid": lambda s, d: textstats.langid_df(_docs(s, d)),
@@ -175,6 +178,7 @@ def oracle_sql() -> dict:
         "dedup_embedding_cosine": similarity.cosine_dup_pairs_sql(threshold=0.35),
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk_sql(),
         "ann_lsh_topk": similarity.ann_lsh_topk_sql(),
+        "ann_lsh_multi_topk": similarity.ann_lsh_multi_topk_sql(),
         "ann_ivf_topk": similarity.ann_ivf_topk_sql(),
         "text_quality": textstats.quality_sql(),
         "text_langid": textstats.langid_sql(),
