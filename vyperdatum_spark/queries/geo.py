@@ -609,6 +609,39 @@ def raster_oracle_sql() -> str:
     )
 
 
+def q_geo_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 CSV sink under the oracle gate: transform → reference-shaped
+    CSV export → read back with an explicit schema. Doubles survive
+    byte-exactly (Java shortest-repr text round-trips to the same
+    bits); null z/unc/region for uncovered rows become empty fields
+    and come back null."""
+    from ..engine import sinks
+    from ..streaming.windows import query_work_dir
+
+    pts = derived_points(spark, sf_dir)
+    out = tx.transform_points(spark, pts, "ellipse", "mllw", key_col="pid")
+    d = query_work_dir("geo_csv")
+    sinks.to_csv(out, f"{d}/csv")
+    return spark.read.schema(
+        "x double, y double, z_out double, unc double, region_ord int"
+    ).option("header", True).csv(f"{d}/csv")
+
+
+def csv_roundtrip_oracle_sql() -> str:
+    ords = " ".join(
+        f"WHEN region_id = '{r.region_id}' THEN {r.region_ord}"
+        for r in catalog.REGIONS
+    )
+    return (
+        f"{_pts_cte()}, assigned AS ("
+        f"  SELECT pid, x, y, z, {region_case_sql()} AS region_id FROM pts) "
+        f"SELECT x, y, {z_out_case_sql('ellipse', 'mllw')} AS z_out, "
+        f"{unc_case_sql('mllw')} AS unc, "
+        f"CAST(CASE {ords} ELSE NULL END AS INT) AS region_ord "
+        f"FROM assigned"
+    )
+
+
 def q_geo_lineage_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compound-WKT lineage round trip (reference vypercrs.py:528-663
     build, :403-445 parse, tests/test_core.py:186-199): build the
@@ -725,6 +758,7 @@ def queries() -> dict:
         "geo_transform_from_depth": q_geo_transform_from_depth,
         "geo_knn_edge": q_geo_knn_edge,
         "geo_raster_transform": q_geo_raster_transform,
+        "geo_csv_roundtrip": q_geo_csv_roundtrip,
         "geo_lineage_wkt": q_geo_lineage_wkt,
         "geo_parse_mentions": q_geo_parse_mentions,
     }
@@ -797,6 +831,7 @@ def oracle_sql() -> dict:
         "geo_transform_from_depth": transform_oracle_sql("noaa chart datum", "navd88"),
         "geo_knn_edge": knn_edge_oracle_sql(),
         "geo_raster_transform": raster_oracle_sql(),
+        "geo_csv_roundtrip": csv_roundtrip_oracle_sql(),
         "geo_lineage_wkt": lineage_wkt_oracle_sql(),
         "geo_parse_mentions": parse_mentions_oracle_sql(),
     }
