@@ -642,6 +642,38 @@ def csv_roundtrip_oracle_sql() -> str:
     )
 
 
+def q_geo_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 cell-partitioned parquet sink under the oracle gate: the
+    transform output written partitioned by coarse cell (the tile
+    layout downstream raster readers prune on) and read back — the
+    partition column must survive the directory-key round trip with
+    its long type and every value intact."""
+    from ..engine import sinks
+    from ..streaming.windows import query_work_dir
+
+    pts = derived_points(spark, sf_dir)
+    out = tx.transform_points(spark, pts, "ellipse", "mllw", key_col="pid")
+    d = query_work_dir("geo_pq_sink")
+    sinks.to_cell_partitioned_parquet(
+        out.select("pid", "cell5", "region_id", "z_out", "unc"), f"{d}/pq"
+    )
+    back = spark.read.schema(
+        "pid long, region_id string, z_out double, unc double, cell5 long"
+    ).option("basePath", f"{d}/pq").parquet(f"{d}/pq")
+    return back.select("pid", "cell5", "region_id", "z_out", "unc")
+
+
+def parquet_sink_oracle_sql() -> str:
+    cell5 = cells.encode_sql("x", "y", cells.COARSE_RES)
+    return (
+        f"{_pts_cte()}, assigned AS ("
+        f"  SELECT pid, x, y, z, {region_case_sql()} AS region_id FROM pts) "
+        f"SELECT pid, {cell5} AS cell5, region_id, "
+        f"{z_out_case_sql('ellipse', 'mllw')} AS z_out, "
+        f"{unc_case_sql('mllw')} AS unc FROM assigned"
+    )
+
+
 def q_geo_lineage_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compound-WKT lineage round trip (reference vypercrs.py:528-663
     build, :403-445 parse, tests/test_core.py:186-199): build the
@@ -759,6 +791,7 @@ def queries() -> dict:
         "geo_knn_edge": q_geo_knn_edge,
         "geo_raster_transform": q_geo_raster_transform,
         "geo_csv_roundtrip": q_geo_csv_roundtrip,
+        "geo_parquet_sink_roundtrip": q_geo_parquet_sink_roundtrip,
         "geo_lineage_wkt": q_geo_lineage_wkt,
         "geo_parse_mentions": q_geo_parse_mentions,
     }
@@ -832,6 +865,7 @@ def oracle_sql() -> dict:
         "geo_knn_edge": knn_edge_oracle_sql(),
         "geo_raster_transform": raster_oracle_sql(),
         "geo_csv_roundtrip": csv_roundtrip_oracle_sql(),
+        "geo_parquet_sink_roundtrip": parquet_sink_oracle_sql(),
         "geo_lineage_wkt": lineage_wkt_oracle_sql(),
         "geo_parse_mentions": parse_mentions_oracle_sql(),
     }
