@@ -204,3 +204,18 @@ def test_pipeline_crs_accumulator_any_order():
     # incomplete -> clear error
     with pytest.raises(ValueError, match="missing"):
         vypercrs.PipelineCRS("tss").to_compound_wkt()
+
+
+def test_vert_wkt_no_trailing_comma_when_lineage_empty():
+    """Round-3 ADVICE regression: a lineage-less vertical CRS (no
+    pipelines → no REMARK) must still produce well-formed WKT — the
+    old string builder left 'LENGTHUNIT["metre",1.0],]'."""
+    from vyperdatum_spark.datums import vypercrs
+
+    wkt = vypercrs.build_vert_wkt("mllw", [], [], vdatum_version="vtest")
+    assert ",]" not in wkt
+    assert wkt.endswith('LENGTHUNIT["metre",1.0]]')
+    with_remark = vypercrs.build_vert_wkt(
+        "mllw", ["R"], ["pipe"], vdatum_version="vtest"
+    )
+    assert ",]" not in with_remark and "REMARK[" in with_remark

@@ -174,3 +174,55 @@ def test_stream_drain_empty_emission_yields_empty_df(spark, tmp_path):
     assert [f.name for f in out.schema.fields] == [
         "window_start", "event_type", "n_events", "sum_value"
     ]
+
+
+def test_stateful_ttl_kernel_arms_and_ages_out():
+    """Round-3 ADVICE regression: the TTL variant must arm a
+    processing-time timeout on every update and remove state on the
+    timeout invocation (previously state_ttl was a silent no-op)."""
+    from vyperdatum_spark.streaming.stateful import _make_dedup_fn
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.hasTimedOut = False
+            self._v = None
+            self.timeout_set = None
+            self.removed = False
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+        def setTimeoutDuration(self, d):
+            self.timeout_set = d
+
+        def remove(self):
+            self.removed = True
+            self.exists = False
+
+    fn = _make_dedup_fn("10 minutes")
+    st = FakeState()
+    pdf = pd.DataFrame({
+        "url": ["u"], "warc_ts": [pd.Timestamp("2024-01-01")],
+        "text": ["t"],
+    })
+    out = list(fn(("u",), iter([pdf]), st))
+    assert len(out) == 1 and st.timeout_set == "10 minutes"
+    # second batch: no emission, timeout re-armed
+    st.timeout_set = None
+    out2 = list(fn(("u",), iter([pdf]), st))
+    assert out2 == [] and st.timeout_set == "10 minutes" and st._v == (2,)
+    # timeout invocation: state removed, nothing emitted
+    st.hasTimedOut = True
+    out3 = list(fn(("u",), iter([]), st))
+    assert out3 == [] and st.removed
+    # no-TTL kernel never arms a timeout
+    fn0 = _make_dedup_fn(None)
+    st0 = FakeState()
+    list(fn0(("u",), iter([pdf]), st0))
+    assert st0.timeout_set is None

@@ -200,6 +200,48 @@ def test_sampled_mode_close_to_exact(spark, fixture_points):
     assert np.allclose(same.z_out, same.z_out_s, atol=0.02)
 
 
+def test_sampled_mode_carries_frame_corrections(spark, fixture_points):
+    """Regression (round-3 ADVICE): sampled mode combined with a
+    non-default output_frame / input_crs must apply the frame δz —
+    previously the join-back recomputed z from the grid sep alone and
+    silently dropped the ~0.8 m+ frame shift."""
+    from vyperdatum_spark.spatial import crs as hcrs
+
+    pdf = fixture_points
+    pts = spark.createDataFrame(pdf)
+    exact = tx.transform_points(
+        spark, pts, "ellipse", "navd88", output_frame="ITRFS"
+    ).toPandas().set_index("pid")
+    sampled = tx.transform_points_sampled(
+        spark, pts, "ellipse", "navd88", output_frame="ITRFS",
+        res=cells.FINE_RES,
+    ).toPandas().set_index("pid")
+    both = exact.join(sampled, rsuffix="_s")
+    core = both[both.covered & both.covered_s
+                & (both.region_id == both.region_id_s)]
+    assert len(core) > 0
+    # frame δz is ~0.8 m — without the fix every row is off by that
+    assert np.allclose(core.z_out, core.z_out_s, atol=0.02)
+
+    # projected input CRS: sampled path must inverse-project before
+    # binning and agree with the exact path
+    px, py = hcrs.from_geoid_frame_np("spcs_syn", pdf.x.values, pdf.y.values)
+    proj = pdf.assign(x=px, y=py)
+    ppts = spark.createDataFrame(proj)
+    exact_p = tx.transform_points(
+        spark, ppts, "ellipse", "mllw", input_crs="spcs_syn"
+    ).toPandas().set_index("pid")
+    sampled_p = tx.transform_points_sampled(
+        spark, ppts, "ellipse", "mllw", input_crs="spcs_syn",
+        res=cells.FINE_RES,
+    ).toPandas().set_index("pid")
+    both_p = exact_p.join(sampled_p, rsuffix="_s")
+    core_p = both_p[both_p.covered & both_p.covered_s
+                    & (both_p.region_id == both_p.region_id_s)]
+    assert len(core_p) > 0
+    assert np.allclose(core_p.z_out, core_p.z_out_s, atol=0.02)
+
+
 def test_tile_assignment_matches_oracle(spark, fixture_points):
     """'identical tile assignments' check: engine cell5 equals the
     numpy encoder's cell for every point."""

@@ -60,12 +60,33 @@ def test_exact_dup_and_lsh_find_the_duplicate_pair(spark):
 
 
 def test_jaccard_pairs_values(spark):
-    out = dedup.jaccard_pairs(_docs_df(spark), threshold=0.0).toPandas()
+    out = dedup.jaccard_pairs(
+        _docs_df(spark), threshold=0.0, allow_all_pairs=True
+    ).toPandas()
     j = out.set_index(["doc_a", "doc_b"]).jaccard
     # docs 0/3 identical → jaccard 1.0
     assert j.loc[(0, 3)] == 1.0
     # docs 0/1: 7 shingles each, 6 shared → 6/8
     assert np.isclose(j.loc[(0, 1)], 6 / 8)
+
+
+def test_jaccard_default_is_candidate_guarded(spark):
+    """Without the explicit all-pairs opt-in, jaccard_pairs verifies
+    MinHash-LSH candidates — every default pair must be an LSH
+    candidate pair AND meet the threshold (no O(n²) fallback)."""
+    df = _docs_df(spark)
+    guarded = dedup.jaccard_pairs(df, threshold=0.5).toPandas()
+    cand = dedup.minhash_lsh_pairs(df).toPandas()
+    cand_set = set(zip(cand.doc_a, cand.doc_b))
+    assert len(guarded) > 0
+    assert set(zip(guarded.doc_a, guarded.doc_b)) <= cand_set
+    allp = dedup.jaccard_pairs(
+        df, threshold=0.5, allow_all_pairs=True
+    ).toPandas()
+    # candidate verification is a subset of the all-pairs reference
+    assert set(zip(guarded.doc_a, guarded.doc_b)) <= set(
+        zip(allp.doc_a, allp.doc_b)
+    )
 
 
 def test_simhash_matches_python(spark):

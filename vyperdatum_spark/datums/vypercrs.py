@@ -73,16 +73,17 @@ def build_vert_wkt(datum_name: str, regions: list[str],
                    vdatum_version: str | None = None) -> str:
     axis, direction = axis_for_datum(datum_name)
     vv = vdatum_version or detect_vdatum_version()
-    wkt = (
-        f'VERTCRS["{datum_name}",'
-        f'VDATUM["{datum_name}"],'
-        f'CS[vertical,1],'
-        f'AXIS["{axis}",{direction}],'
-        f'LENGTHUNIT["metre",1.0],'
-    )
+    members = [
+        f'VDATUM["{datum_name}"]',
+        "CS[vertical,1]",
+        f'AXIS["{axis}",{direction}]',
+        'LENGTHUNIT["metre",1.0]',
+    ]
     if pipelines:
-        wkt += build_remarks(vv, base_datum, regions, pipelines)
-    return wkt + "]"
+        members.append(build_remarks(vv, base_datum, regions, pipelines))
+    # comma-join so a lineage-less CRS (no REMARK) still closes with a
+    # well-formed bracket — external WKT parsers reject ",]"
+    return f'VERTCRS["{datum_name}",' + ",".join(members) + "]"
 
 
 def build_compound_wkt(horiz_wkt: str, vert_wkt: str) -> str:

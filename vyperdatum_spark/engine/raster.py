@@ -129,10 +129,16 @@ def transform_raster_points(
         )
         if "src_unc" in cells_df.columns:
             # source band unc adds to datum unc (raster.py:367-372);
-            # CATZOC keeps the larger (raster.py:391-396)
-            combined = F.when(
-                covered, base_unc + F.col("src_unc")
-            ).otherwise(F.greatest(base_unc, F.col("src_unc")))
+            # CATZOC keeps the larger (raster.py:391-396). When
+            # passthrough is NOT allowed, uncovered cells are nodata —
+            # unc stays null (F.greatest would skip the null CATZOC arm
+            # and leak src_unc through)
+            if allow_points_outside_coverage:
+                combined = F.when(
+                    covered, base_unc + F.col("src_unc")
+                ).otherwise(F.greatest(base_unc, F.col("src_unc")))
+            else:
+                combined = F.when(covered, base_unc + F.col("src_unc"))
             out = out.withColumn("unc", F.when(value.isNotNull(), combined))
         else:
             out = out.withColumn("unc", F.when(value.isNotNull(), base_unc))

@@ -829,7 +829,43 @@ def transform_points_sampled(
     only the distinct fine-cell centers, then equi-join the separation
     back to the full point set. THE production path at 10^12 rows —
     O(distinct cells) pandas work instead of O(points).
+
+    Horizontal-CRS handling: a non-default ``input_crs`` /
+    ``output_frame`` routes to the frame-aware path — cells are binned
+    on geoid-frame lon/lat and the FULL transform (projection, frame
+    δz, output-frame z-correction) is evaluated at each cell center
+    with z=0, exactly the reference's sampled semantics
+    (points.py:67: centers run through transform_dataset, :85:
+    ``newz = z_sep[cell] + flip·z``). Like the reference, sampled mode
+    emits no per-point output x/y (points.py:78-79).
     """
+    # resolve datum specs (EPSG/WKT/tuples) exactly as the full path
+    # does so the frame detection below sees the resolved CRS
+    input_crs = kwargs.pop("input_crs", "nad83s")
+    output_frame = kwargs.pop("output_frame", None)
+    if not isinstance(from_datum, str) or from_datum.lower() not in pl.DATUM_DEFINITION:
+        from ..datums import resolve as _resolve
+
+        from_datum, in_horiz = _resolve.resolve_vertical(from_datum, "input")
+        if in_horiz is not None and input_crs == "nad83s":
+            input_crs = in_horiz
+    if not isinstance(to_datum, str) or to_datum.lower() not in pl.DATUM_DEFINITION:
+        from ..datums import resolve as _resolve
+
+        to_datum, out_horiz = _resolve.resolve_vertical(to_datum, "output")
+        if out_horiz is not None and output_frame is None:
+            output_frame = hcrs.CRS_FRAME[out_horiz]
+    in_crs = hcrs.validate_crs(input_crs)
+    in_frame = hcrs.CRS_FRAME[in_crs]
+    frame_mode = in_crs != "nad83s" or (
+        output_frame is not None and output_frame.upper() != in_frame
+    )
+    if frame_mode:
+        return _transform_sampled_frame(
+            spark, points, from_datum, to_datum, key_col, x_col, y_col,
+            z_col, res, in_crs, output_frame, **kwargs,
+        )
+
     x, y, z = F.col(x_col), F.col(y_col), F.col(z_col)
     fin, fout = pl.axis_flips(from_datum, to_datum)
 
@@ -865,3 +901,66 @@ def transform_points_sampled(
         .drop("cell_sep")
     )
     return out
+
+
+def _transform_sampled_frame(
+    spark: SparkSession,
+    points: DataFrame,
+    from_datum: str,
+    to_datum: str,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    z_col: str,
+    res: int,
+    in_crs: str,
+    output_frame: str | None,
+    **kwargs,
+) -> DataFrame:
+    """Sampled mode with a non-default horizontal CRS / output frame.
+
+    The reference evaluates EVERYTHING (projection inverse, frame δz,
+    grid separation, output-frame z-correction) at the sampled cell
+    center with z=0 (points.py:67), then adds the axis-flipped point z
+    to the center's transformed value (points.py:85). We mirror that:
+    ``z_out = z_out(center, z=0) + fin·fout·z``. Binning runs on
+    geoid-frame lon/lat so cell keys are degree-scaled regardless of
+    the input CRS's units."""
+    x, y, z = F.col(x_col), F.col(y_col), F.col(z_col)
+    fin, fout = pl.axis_flips(from_datum, to_datum)
+
+    lon_g, lat_g, _zg = hcrs.to_geoid_frame_cols(in_crs, x, y, F.lit(0.0))
+    with_cell = points.withColumn(
+        "cell_r", cells.encode_col(lon_g, lat_g, res)
+    )
+    distinct_cells = with_cell.select("cell_r").distinct()
+    lon, lat = cell_center_cols(F.col("cell_r"), res)
+    # centers expressed back in the INPUT CRS so the inner transform
+    # applies the same frame path as the full engine
+    cx, cy = hcrs.from_geoid_frame_cols(in_crs, lon, lat)
+    centers = distinct_cells.select(
+        F.col("cell_r"), cx.alias("x"), cy.alias("y"), F.lit(0.0).alias("z")
+    )
+    tc = transform_points(
+        spark, centers, from_datum, to_datum,
+        key_col="cell_r", x_col="x", y_col="y", z_col="z",
+        input_crs=in_crs, output_frame=output_frame, **kwargs,
+    )
+    cell_sep = tc.select(
+        "cell_r",
+        F.col("z_out").alias("_cell_z0"),
+        F.col("sep").alias("sep"),
+        F.col("region_id").alias("region_id"),
+        F.col("region_ord").alias("region_ord"),
+        *(["unc"] if "unc" in tc.columns else []),
+    )
+    out = with_cell.join(cell_sep, "cell_r", "left")
+    covered = F.col("_cell_z0").isNotNull()
+    return (
+        out.withColumn(
+            "z_out",
+            F.when(covered, F.col("_cell_z0") + F.lit(fin * fout) * z),
+        )
+        .withColumn("covered", covered)
+        .drop("_cell_z0")
+    )

@@ -278,7 +278,10 @@ def _dims(spark: SparkSession, from_datum: str, to_datum: str):
     version, datum pair): the grid working set is immutable for a
     catalog version (the PROJ-grid-cache analog), and rebuilding the
     pandas→Spark dims cost ~0.3-0.5 s of fixed driver time per query."""
-    key = (id(spark), catalog.catalog_version(),
+    # session-unique token, NOT id(spark): a stopped session's CPython
+    # address can be reused by a new one, which would hand back cached
+    # DataFrames bound to a dead session
+    key = (spark.sparkContext.applicationId, catalog.catalog_version(),
            from_datum.lower(), to_datum.lower())
     hit = _DIM_CACHE.get(key)
     if hit is not None:

@@ -471,35 +471,55 @@ def decontaminate_sql(corpus: str, benchmark: str,
 # ------------------------------------------------------ n-gram jaccard
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", lang_col: str = "lang",
-                  threshold: float = 0.5) -> DataFrame:
-    """Word-shingle Jaccard over same-language pairs (the verify stage
-    of the dedup pipeline; run on LSH candidates at full scale)."""
+                  threshold: float = 0.5,
+                  candidates: DataFrame | None = None,
+                  allow_all_pairs: bool = False) -> DataFrame:
+    """Word-shingle Jaccard over same-language pairs — the VERIFY stage
+    of the dedup pipeline.
+
+    Scale guardrail: by default the pair space is a candidate-pair
+    DataFrame (``candidates`` with doc_a/doc_b columns; when omitted,
+    MinHash-LSH candidates are generated) so the exact Jaccard runs on
+    O(candidates), never all-pairs. The full O(n²)-within-language
+    cross join — safe only at test scale or as a recall oracle — must
+    be requested explicitly with ``allow_all_pairs=True``.
+    """
+    if candidates is None and not allow_all_pairs:
+        candidates = minhash_lsh_pairs(df, id_col, text_col)
     sets = shingled_df(df, id_col, text_col, extra_cols=(lang_col,)).select(
         F.col(id_col),
         F.col(lang_col),
         F.array_distinct(F.col("_sh")).alias("sset"),
     )
     a = sets.select(
-        F.col(lang_col),
+        F.col(lang_col).alias("_lang_a"),
         F.col(id_col).alias("doc_a"),
         F.col("sset").alias("set_a"),
         F.size("sset").alias("sz_a"),
     )
     b = sets.select(
-        F.col(lang_col),
+        F.col(lang_col).alias("_lang_b"),
         F.col(id_col).alias("doc_b"),
         F.col("sset").alias("set_b"),
         F.size("sset").alias("sz_b"),
     )
+    if candidates is not None:
+        joined = (
+            candidates.select("doc_a", "doc_b")
+            .join(a, "doc_a")
+            .join(b, "doc_b")
+            .filter(F.col("_lang_a") == F.col("_lang_b"))
+        )
+    else:
+        joined = (
+            a.join(b, a["_lang_a"] == b["_lang_b"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+        )
     # lossless size prune: jaccard ≥ τ ⟹ min(|A|,|B|) ≥ τ·max(|A|,|B|)
     # (I ≤ min, U ≥ max) — cuts the pair count before set intersection
-    joined = (
-        a.join(b, lang_col)
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .filter(
-            F.least("sz_a", "sz_b").cast("double")
-            >= F.lit(threshold) * F.greatest("sz_a", "sz_b").cast("double")
-        )
+    joined = joined.filter(
+        F.least("sz_a", "sz_b").cast("double")
+        >= F.lit(threshold) * F.greatest("sz_a", "sz_b").cast("double")
     )
     staged = joined.select(
         "doc_a",

@@ -16,7 +16,6 @@ is pure column math and oracle-checkable.
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -69,14 +68,16 @@ DECODE_SCHEMA = (
 def decode_image_batches(
     it: Iterator[pd.DataFrame],
     id_col: str,
-    bin_col: str,
+    digest_col: str = "_digest",
     deterministic_fake: bool = True,
     feat_dim: int = 8,
 ) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: binary → (dims, frame count, luminance,
-    feature vector). Real decoding is stubbed (no codec libs in this
-    container); the fake path is content-addressed and deterministic
-    so tests exercise the true batch shape and schema."""
+    """mapInPandas kernel: content digest → (dims, frame count,
+    luminance, feature vector). Real decoding is stubbed (no codec
+    libs in this container) — a REAL codec would iterate per blob
+    RIGHT HERE; the deterministic fake instead consumes a 16-byte md5
+    computed JVM-side (``F.unhex(F.md5(bin))``), so the kernel is pure
+    vectorized numpy with no Python-level hashing."""
     for pdf in it:
         if not deterministic_fake:
             raise NotImplementedError(
@@ -86,12 +87,9 @@ def decode_image_batches(
         n = len(pdf)
         if n == 0:
             continue
-        # the per-blob md5 is the codec stand-in (a real decode is
-        # also per-blob); everything DERIVED from it is vectorized —
         # one digest matrix, numpy column math, no per-row assembly
         d = np.frombuffer(
-            b"".join(hashlib.md5(bytes(p)).digest() for p in pdf[bin_col]),
-            dtype=np.uint8,
+            b"".join(pdf[digest_col]), dtype=np.uint8
         ).reshape(n, 16)
         feat_mat = (d[:, 4:4 + feat_dim].astype(np.float32) / 255.0)
         yield pd.DataFrame(
@@ -109,9 +107,14 @@ def decode_image_batches(
 def decode_media(df: DataFrame, id_col: str, bin_col: str,
                  deterministic_fake: bool = True) -> DataFrame:
     def fn(it):
-        return decode_image_batches(it, id_col, bin_col, deterministic_fake)
+        return decode_image_batches(it, id_col, "_digest", deterministic_fake)
 
-    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(fn, DECODE_SCHEMA)
+    # content hash computed in whole-stage codegen; only the 16-byte
+    # digest crosses the Arrow socket, never the blob itself
+    narrow = df.select(
+        F.col(id_col), F.unhex(F.md5(F.col(bin_col))).alias("_digest")
+    )
+    return narrow.mapInPandas(fn, DECODE_SCHEMA)
 
 
 RESIZE_SCHEMA = (
@@ -137,32 +140,37 @@ def resize_media(df: DataFrame, id_col: str, bin_col: str,
                     "real image resize requires codec libraries not "
                     "present in this container; use deterministic_fake=True"
                 )
+            # a REAL pixel resample would loop per blob RIGHT HERE;
+            # the fake path is fully vectorized over the JVM-computed
+            # digest + resized-hash columns
             n = len(pdf)
             if n == 0:
                 continue
             d = np.frombuffer(
-                b"".join(hashlib.md5(bytes(p)).digest() for p in pdf[bin_col]),
-                dtype=np.uint8,
+                b"".join(pdf["_digest"]), dtype=np.uint8
             ).reshape(n, 16)
             src_w = (16 + d[:, 0] % 64).astype(np.float64)
             src_h = (16 + d[:, 1] % 64).astype(np.float64)
-            resized = [
-                hashlib.md5(d[i].tobytes() + f"|{target_w}x{target_h}".encode())
-                .hexdigest()
-                for i in range(n)
-            ]
             yield pd.DataFrame({
                 "id": pdf[id_col].to_numpy(),
                 "out_width": np.full(n, target_w, dtype=np.int32),
                 "out_height": np.full(n, target_h, dtype=np.int32),
                 "scale_x": target_w / src_w,
                 "scale_y": target_h / src_h,
-                "resized_md5": resized,
+                "resized_md5": pdf["_resized_md5"],
             })
 
-    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(
-        fn, RESIZE_SCHEMA
+    # both hashes in whole-stage codegen: the source digest and the
+    # content hash of the 'resized' payload (digest ‖ "|WxH") — only
+    # 16 + 32 bytes per row cross the Arrow socket
+    digest = F.unhex(F.md5(F.col(bin_col)))
+    suffix = F.lit(f"|{target_w}x{target_h}".encode())
+    narrow = df.select(
+        F.col(id_col),
+        digest.alias("_digest"),
+        F.md5(F.concat(digest, suffix)).alias("_resized_md5"),
     )
+    return narrow.mapInPandas(fn, RESIZE_SCHEMA)
 
 
 def frame_sample(df: DataFrame, id_col: str, bin_col: str,

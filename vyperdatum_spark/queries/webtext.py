@@ -133,8 +133,11 @@ def queries() -> dict:
         "dedup_simhash_hamming": lambda s, d: dedup.simhash_hamming_pairs(
             _docs_with_dups(s, d)
         ),
+        # explicit all-pairs opt-in: the oracle is the O(n²)-within-
+        # language recall reference, safe at test scale only — the
+        # production default (no flag) verifies LSH candidates
         "dedup_ngram_jaccard": lambda s, d: dedup.jaccard_pairs(
-            _docs(s, d), threshold=0.5
+            _docs(s, d), threshold=0.5, allow_all_pairs=True
         ),
         "dedup_lsh_verified": lambda s, d: dedup.lsh_verified_pairs(
             _docs(s, d), threshold=0.5

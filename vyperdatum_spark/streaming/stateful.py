@@ -38,28 +38,48 @@ STATE_SCHEMA = StructType([
 ])
 
 
-def _dedup_fn(key, pdf_iter, state: GroupState):
-    """Emit the url's row ONCE (first batch it appears in); afterwards
-    only bump the fetch counter in state."""
-    url = key[0]
-    n = 0
-    first_row = None
-    for pdf in pdf_iter:
-        n += len(pdf)
-        if first_row is None and len(pdf):
-            first = pdf.sort_values("warc_ts").iloc[0]
-            first_row = (url, first["warc_ts"], first["text"])
-    if state.exists:
-        (seen,) = state.get
-        state.update((seen + n,))
-        return iter(())  # already emitted in an earlier batch
-    state.update((n,))
-    return iter([pd.DataFrame({
-        "url": [first_row[0]],
-        "first_ts": [first_row[1]],
-        "text": [first_row[2]],
-        "n_in_batch": [n],
-    })])
+def _make_dedup_fn(state_ttl: str | None):
+    """Build the keyed-state kernel. With ``state_ttl`` set, each
+    update arms a processing-time timeout; when it fires (url idle for
+    the TTL) the state is removed so the store holds only the active
+    crawl frontier — a url re-fetched after aging out is emitted again
+    (the documented trade of bounded state)."""
+
+    def _dedup_fn(key, pdf_iter, state: GroupState):
+        url = key[0]
+        if state.hasTimedOut:
+            # timeout invocation carries no rows: age the key out
+            state.remove()
+            return iter(())
+        n = 0
+        first_row = None
+        for pdf in pdf_iter:
+            n += len(pdf)
+            if first_row is None and len(pdf):
+                first = pdf.sort_values("warc_ts").iloc[0]
+                first_row = (url, first["warc_ts"], first["text"])
+        already = state.exists
+        if already:
+            (seen,) = state.get
+            state.update((seen + n,))
+        else:
+            state.update((n,))
+        if state_ttl:
+            state.setTimeoutDuration(state_ttl)
+        if already:
+            return iter(())  # already emitted in an earlier batch
+        return iter([pd.DataFrame({
+            "url": [first_row[0]],
+            "first_ts": [first_row[1]],
+            "text": [first_row[2]],
+            "n_in_batch": [n],
+        })])
+
+    return _dedup_fn
+
+
+# default kernel (no TTL) — kept importable for tests
+_dedup_fn = _make_dedup_fn(None)
 
 
 def stream_dedup_urls(
@@ -77,7 +97,8 @@ def stream_dedup_urls(
     deduped = (
         pages.groupBy("url")
         .applyInPandasWithState(
-            _dedup_fn, OUT_SCHEMA, STATE_SCHEMA, "append", timeout,
+            _make_dedup_fn(state_ttl), OUT_SCHEMA, STATE_SCHEMA,
+            "append", timeout,
         )
     )
     q = (
