@@ -334,3 +334,53 @@ def test_empty_input_all_strategies(spark, strategy):
     )
     assert out.count() == 0
     assert {"region_id", "z_out", "covered", "sep", "unc"} <= set(out.columns)
+
+
+def test_sql_count_precedence_matches_broadcast(spark, fixture_points):
+    """Round-3: W2 count-ranked precedence in the pure-JVM SQL
+    strategy must be row-identical to the Python-kernel path."""
+    pdf = fixture_points
+    pts = spark.createDataFrame(pdf)
+    a = tx.transform_points(
+        spark, pts, "ellipse", "mllw", precedence="count", strategy="sql",
+    ).toPandas().set_index("pid").sort_index()
+    b = tx.transform_points(
+        spark, pts, "ellipse", "mllw", precedence="count",
+        strategy="broadcast",
+    ).toPandas().set_index("pid").sort_index()
+    assert a.region_id.fillna("-").equals(b.region_id.fillna("-"))
+    assert np.array_equal(
+        np.nan_to_num(a.z_out.to_numpy(dtype=float), nan=-9e9),
+        np.nan_to_num(b.z_out.to_numpy(dtype=float), nan=-9e9),
+    )
+
+
+def test_sql_knn_edge_matches_broadcast(spark):
+    """Round-3: J8 kNN edge fill in the SQL strategy (candidate-cell
+    broadcast join + argmin column math) vs the numpy kernel, on a
+    NaN-masked runtime grid."""
+    from vyperdatum_spark.queries.geo import _knn_grid_defs, KNN_NODE_LON
+
+    k = np.arange(200)
+    pdf = pd.DataFrame({
+        "pid": k,
+        "x": KNN_NODE_LON + 0.0005 + ((k * 131) % 39) * 0.001,
+        "y": 33.2005 + ((k * 7919) % 100) * 0.008,
+        "z": (k % 17) * 0.25,
+    })
+    pts = spark.createDataFrame(pdf)
+    defs = _knn_grid_defs()
+    a = tx.transform_points(
+        spark, pts, "ellipse", "mllw", grid_defs=defs,
+        knn_fallback=True, strategy="sql",
+    ).toPandas().set_index("pid").sort_index()
+    b = tx.transform_points(
+        spark, pts, "ellipse", "mllw", grid_defs=defs,
+        knn_fallback=True, strategy="broadcast",
+    ).toPandas().set_index("pid").sort_index()
+    assert a.covered.any()
+    assert a.region_id.fillna("-").equals(b.region_id.fillna("-"))
+    assert np.array_equal(
+        np.nan_to_num(a.z_out.to_numpy(dtype=float), nan=-9e9),
+        np.nan_to_num(b.z_out.to_numpy(dtype=float), nan=-9e9),
+    )

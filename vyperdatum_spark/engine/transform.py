@@ -452,6 +452,7 @@ def transform_points(
     strategy: str = "sql",  # "sql" | "broadcast" | "cogroup"
     input_crs: str = "nad83s",
     output_frame: str | None = None,
+    grid_defs: list | None = None,
 ) -> DataFrame:
     """Transform ``points[z_col]`` from ``from_datum`` to ``to_datum``.
 
@@ -508,10 +509,14 @@ def transform_points(
             from ..spatial import crs as _hc
 
             output_frame = _hc.CRS_FRAME[out_horiz]
-    if strategy == "sql" and (
-        knn_fallback or precedence != "list" or tiles is not None
-    ):
+    # the SQL strategy now covers W2 count precedence and J8 kNN edge
+    # fill (round-3); only a caller-supplied TILE DataFrame (no driver-
+    # side grid definitions to compile into the broadcast dims) still
+    # routes to the Python-kernel strategies
+    if strategy == "sql" and tiles is not None and grid_defs is None:
         strategy = "broadcast"
+    if grid_defs is not None and tiles is None and strategy != "sql":
+        tiles = tiler.build_tile_df(spark, grid_defs)
     # F4 sign matrix: depth-axis INPUT negates z before the pipeline,
     # depth-axis OUTPUT negates after (core.py:397-403, 441-449)
     flips = pl.axis_flips(from_datum, to_datum)
@@ -595,7 +600,9 @@ def transform_points(
         from . import transform_sql
 
         enriched = transform_sql.transform_points_sql(
-            spark, base.drop("cell5"), from_datum, to_datum, x_col, y_col
+            spark, base.drop("cell5"), from_datum, to_datum, x_col, y_col,
+            grid_defs=grid_defs, knn_fallback=knn_fallback,
+            precedence=precedence,
         )
         return _emit(_finalize(
             enriched, None, spark, from_datum, to_datum, z, flips,

@@ -53,6 +53,8 @@ semantics core.py:445-446, bilinear grid sampling core.py:283-311.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -90,23 +92,33 @@ def cover_slots_pdf() -> tuple[pd.DataFrame, int]:
     return pd.DataFrame(rows), depth
 
 
-def combined_grids(from_datum: str, to_datum: str):
-    """Per region: the pipeline's steps grouped by lattice signature,
-    each group pre-combined into one node array w = Σ sign_s·v_s.
+def combined_grids(from_datum: str, to_datum: str, defs=None):
+    """Per region: the pipeline's steps grouped by (lattice signature,
+    NaN-mask signature), each group pre-combined into one node array
+    w = Σ sign_s·v_s.
+
+    Steps may only combine when their coverage masks are IDENTICAL:
+    for plain bilinear the NaN union would be equivalent, but the kNN
+    edge fill (J8) falls back per STEP to that step's nearest valid
+    node — pre-summing steps with different masks would fill from a
+    node where another step is NaN. Fixture grids share the all-valid
+    mask per lattice, so the default grouping is unchanged.
 
     Returns {region_id: [(lon0, lat0, dlon, dlat, nx, ny, w), ...]}.
     """
-    defs = {gd.grid_id: gd for gd in tiler.fixture_grid_defs()}
+    gdefs = {gd.grid_id: gd
+             for gd in (defs if defs is not None else tiler.fixture_grid_defs())}
     out: dict[str, list] = {}
     for r in catalog.REGIONS:
         steps = pl.compile_steps(from_datum, to_datum, r.region_id, r.geoid) or []
         groups: dict[tuple, np.ndarray] = {}
         order: list[tuple] = []
         for grid_id, sign in steps:
-            gd = defs[grid_id]
-            key = (gd.lon0, gd.lat0, gd.dlon, gd.dlat, gd.nx, gd.ny)
+            gd = gdefs[grid_id]
             ixs, iys = np.meshgrid(np.arange(gd.nx), np.arange(gd.ny))
             v = gd.node_values(ixs.ravel(), iys.ravel()).reshape(gd.ny, gd.nx)
+            key = (gd.lon0, gd.lat0, gd.dlon, gd.dlat, gd.nx, gd.ny,
+                   np.isnan(v).tobytes())
             if key in groups:
                 groups[key] = groups[key] + sign * v
             else:
@@ -174,6 +186,91 @@ def corners_pdf(grids: dict) -> pd.DataFrame:
             "v10": pd.Series(dtype=np.float64), "v11": pd.Series(dtype=np.float64),
         })
     return pd.concat(frames, ignore_index=True)
+
+
+def knn_cells_pdf(grids: dict, max_candidates: int = 64):
+    """J8 in pure SQL: per (gkey, lattice cell touched by the edge
+    fill), the candidate set of valid nodes that can be the nearest
+    for SOME point in that cell — so the runtime argmin is a ≤C-way
+    column expression, exactly mirroring grids.bilinear._knn_fill.
+
+    Candidate sufficiency (provable superset): for any point P in a
+    cell with center c and half-diagonal r, the nearest valid node n*
+    satisfies d(c,n*) ≤ d(c,n_c) + 2r where n_c is the node nearest
+    the center; and the fill gate dmin ≤ m (m = max spacing) means
+    only nodes with d(c,n) ≤ m + r can ever win. Cells whose bilinear
+    is always valid (interior, 4 finite corners) are skipped — the
+    fill is never consulted there.
+
+    Returns (row tuples (gkey, ix, iy, nlon_i/nlat_i/nval_i/nidx_i…),
+    C). Candidate slots are vidx-ascending, matching np.argmin's
+    first-minimum tie-break over the row-major valid-node enumeration.
+    """
+    recs: list[dict] = []
+    cmax = 0
+    for region_id, gs in grids.items():
+        for j, (lon0, lat0, dlon, dlat, nx, ny, w) in enumerate(gs):
+            valid = np.isfinite(w)
+            if not valid.any():
+                continue
+            has_nan = bool((~valid).any())
+            m = max(dlon, dlat)
+            viy, vix = np.nonzero(valid)
+            vlon = lon0 + vix.astype(np.float64) * dlon
+            vlat = lat0 + viy.astype(np.float64) * dlat
+            vval = w[viy, vix]
+            vidx = viy.astype(np.int64) * nx + vix.astype(np.int64)
+            r = 0.5 * math.hypot(dlon, dlat)
+            ix0 = int(math.floor((vlon.min() - m - lon0) / dlon))
+            ix1 = int(math.floor((vlon.max() + m - lon0) / dlon))
+            iy0 = int(math.floor((vlat.min() - m - lat0) / dlat))
+            iy1 = int(math.floor((vlat.max() + m - lat0) / dlat))
+            for iy in range(iy0, iy1 + 1):
+                for ix in range(ix0, ix1 + 1):
+                    interior = 0 <= ix <= nx - 2 and 0 <= iy <= ny - 2
+                    if interior and not has_nan:
+                        continue
+                    if interior and (valid[iy, ix] and valid[iy, ix + 1]
+                                     and valid[iy + 1, ix]
+                                     and valid[iy + 1, ix + 1]):
+                        continue  # bilinear always valid in this cell
+                    cx = lon0 + (ix + 0.5) * dlon
+                    cy = lat0 + (iy + 0.5) * dlat
+                    d = np.hypot(vlon - cx, vlat - cy)
+                    dmin = float(d.min())
+                    if dmin > m + r:
+                        continue  # no point in this cell is fillable
+                    keep = np.flatnonzero(d <= min(dmin + 2.0 * r, m + r) + 1e-12)
+                    keep = keep[np.argsort(vidx[keep])]
+                    cmax = max(cmax, len(keep))
+                    if cmax > max_candidates:
+                        raise RuntimeError(
+                            f"kNN candidate set {cmax} exceeds "
+                            f"{max_candidates} for {region_id}#g{j} "
+                            f"cell ({ix},{iy}); use the broadcast strategy"
+                        )
+                    recs.append({
+                        "gkey": f"{region_id}#g{j}", "ix": ix, "iy": iy,
+                        "_cand": [
+                            (float(vlon[i]), float(vlat[i]),
+                             float(vval[i]), int(vidx[i]))
+                            for i in keep
+                        ],
+                    })
+    # plain row tuples, NOT a pandas frame: None-padded candidate
+    # slots would coerce the int nidx columns to float64, which the
+    # non-Arrow createDataFrame path (plain spark-submit) rejects
+    # against LongType
+    rows = []
+    for rec in recs:
+        row = [rec["gkey"], rec["ix"], rec["iy"]]
+        for i in range(cmax):
+            if i < len(rec["_cand"]):
+                row.extend(rec["_cand"][i])
+            else:
+                row.extend((None, None, None, None))
+        rows.append(tuple(row))
+    return rows, cmax
 
 
 # --------------------------------------------------------------------
@@ -273,21 +370,25 @@ def bilinear_expr(
 _DIM_CACHE: dict = {}
 
 
-def _dims(spark: SparkSession, from_datum: str, to_datum: str):
+def _dims(spark: SparkSession, from_datum: str, to_datum: str,
+          grid_defs=None, knn_fallback: bool = False):
     """Broadcast-dimension DataFrames cached per (session, catalog
     version, datum pair): the grid working set is immutable for a
     catalog version (the PROJ-grid-cache analog), and rebuilding the
-    pandas→Spark dims cost ~0.3-0.5 s of fixed driver time per query."""
+    pandas→Spark dims cost ~0.3-0.5 s of fixed driver time per query.
+    Caller-supplied ``grid_defs`` (runtime grids) bypass the cache."""
     # session-unique token, NOT id(spark): a stopped session's CPython
     # address can be reused by a new one, which would hand back cached
     # DataFrames bound to a dead session
     key = (spark.sparkContext.applicationId, catalog.catalog_version(),
-           from_datum.lower(), to_datum.lower())
-    hit = _DIM_CACHE.get(key)
-    if hit is not None:
-        return hit
+           from_datum.lower(), to_datum.lower(), knn_fallback)
+    cacheable = grid_defs is None
+    if cacheable:
+        hit = _DIM_CACHE.get(key)
+        if hit is not None:
+            return hit
     slots_pdf, depth = cover_slots_pdf()
-    grids = combined_grids(from_datum, to_datum)
+    grids = combined_grids(from_datum, to_datum, grid_defs)
     j_max = max((len(g) for g in grids.values()), default=0)
     slots = spark.createDataFrame(slots_pdf)
     rdim = spark.createDataFrame(region_dim_pdf(grids, j_max))
@@ -296,8 +397,18 @@ def _dims(spark: SparkSession, from_datum: str, to_datum: str):
         "gkey string, ix long, iy long, "
         "v00 double, v01 double, v10 double, v11 double",
     )
-    out = (slots, rdim, corners, depth, j_max)
-    _DIM_CACHE[key] = out
+    if knn_fallback:
+        knn_rows, n_cand = knn_cells_pdf(grids)
+        knn_schema = "gkey string, ix long, iy long" + "".join(
+            f", nlon_{i} double, nlat_{i} double, nval_{i} double, nidx_{i} long"
+            for i in range(n_cand)
+        )
+        knn_df = spark.createDataFrame(knn_rows, knn_schema)
+    else:
+        knn_df, n_cand = None, 0
+    out = (slots, rdim, corners, depth, j_max, knn_df, n_cand)
+    if cacheable:
+        _DIM_CACHE[key] = out
     return out
 
 def transform_points_sql(
@@ -307,14 +418,32 @@ def transform_points_sql(
     to_datum: str,
     x_col: str = "x",
     y_col: str = "y",
+    grid_defs=None,
+    knn_fallback: bool = False,
+    precedence: str = "list",
 ) -> DataFrame:
     """Enrich ``points`` with (cell5, region_id, region_ord, sep) via
     the pure-JVM plan. Output contract matches the passthrough kernel
     (transform.py ``emit='passthrough'``); transform._finalize applies
     flip/round/unc downstream.
+
+    Round-3 extensions (previous limits, now lifted):
+      knn_fallback   — J8 edge fill as a broadcast join to the
+                       precomputed candidate-cell table + a ≤C-way
+                       argmin column expression (no Python).
+      precedence     — "count" (W2, raster stacking): the per-region
+                       valid-membership counts are computed by ONE
+                       extra aggregate job over the same JVM plan
+                       (the reference also pre-scans for counts,
+                       raster.py:214-216) and baked into the winner
+                       comparison as literals.
+      grid_defs      — caller-supplied runtime grids (tiler.GridDef
+                       list), replacing the catalog fixture set.
     """
     x, y = F.col(x_col), F.col(y_col)
-    slots, rdim, corners, depth, j_max = _dims(spark, from_datum, to_datum)
+    slots, rdim, corners, depth, j_max, knn_df, n_cand = _dims(
+        spark, from_datum, to_datum, grid_defs, knn_fallback
+    )
 
     out = points.withColumn("cell5", cells.encode_col(x, y, cells.COARSE_RES))
     out = out.withColumn("_c9", cells.encode_col(x, y, cells.FINE_RES))
@@ -338,6 +467,8 @@ def transform_points_sql(
             F.broadcast(rd), out[f"slot_{k}"] == rd[f"rid{sfx}"], "left"
         )
         for j in range(j_max):
+            ix = F.floor((x - F.col(f"lon0{sfx}_{j}")) / F.col(f"dlon{sfx}_{j}")).cast("long")
+            iy = F.floor((y - F.col(f"lat0{sfx}_{j}")) / F.col(f"dlat{sfx}_{j}")).cast("long")
             cn = corners.select(
                 F.col("gkey").alias(f"g{sfx}_{j}"),
                 F.col("ix").alias(f"ix{sfx}_{j}"),
@@ -347,14 +478,29 @@ def transform_points_sql(
                 F.col("v10").alias(f"v10{sfx}_{j}"),
                 F.col("v11").alias(f"v11{sfx}_{j}"),
             )
-            ix = F.floor((x - F.col(f"lon0{sfx}_{j}")) / F.col(f"dlon{sfx}_{j}")).cast("long")
-            iy = F.floor((y - F.col(f"lat0{sfx}_{j}")) / F.col(f"dlat{sfx}_{j}")).cast("long")
             out = out.join(
                 F.broadcast(cn),
                 (F.col(f"gkey{sfx}_{j}") == cn[f"g{sfx}_{j}"])
                 & (ix == cn[f"ix{sfx}_{j}"]) & (iy == cn[f"iy{sfx}_{j}"]),
                 "left",
             )
+            if knn_fallback and n_cand:
+                kn = knn_df.select(
+                    F.col("gkey").alias(f"kg{sfx}_{j}"),
+                    F.col("ix").alias(f"kx{sfx}_{j}"),
+                    F.col("iy").alias(f"ky{sfx}_{j}"),
+                    *[
+                        F.col(f"{c}_{i}").alias(f"{c}{sfx}_{j}_{i}")
+                        for i in range(n_cand)
+                        for c in ("nlon", "nlat", "nval", "nidx")
+                    ],
+                )
+                out = out.join(
+                    F.broadcast(kn),
+                    (F.col(f"gkey{sfx}_{j}") == kn[f"kg{sfx}_{j}"])
+                    & (ix == kn[f"kx{sfx}_{j}"]) & (iy == kn[f"ky{sfx}_{j}"]),
+                    "left",
+                )
 
     # ----- stage the expensive per-slot expressions as REAL columns --
     # A column referenced more than once downstream would otherwise be
@@ -377,6 +523,31 @@ def transform_points_sql(
                 F.col(f"v00{sfx}_{j}"), F.col(f"v01{sfx}_{j}"),
                 F.col(f"v10{sfx}_{j}"), F.col(f"v11{sfx}_{j}"),
             )
+            if knn_fallback and n_cand:
+                # J8: where bilinear is invalid (NaN corner or outside
+                # the lattice), fall back to the nearest valid node
+                # within one spacing — the exact _knn_fill semantics
+                # (argmin d², ties to the lowest row-major node index,
+                # gate sqrt(d²min) ≤ max(dlon, dlat))
+                cand_structs = []
+                for i in range(n_cand):
+                    nlon = F.col(f"nlon{sfx}_{j}_{i}")
+                    nlat = F.col(f"nlat{sfx}_{j}_{i}")
+                    d2 = (x - nlon) * (x - nlon) + (y - nlat) * (y - nlat)
+                    cand_structs.append(F.when(
+                        nlon.isNotNull(),
+                        F.struct(
+                            d2.alias("d2"),
+                            F.col(f"nidx{sfx}_{j}_{i}").alias("i"),
+                            F.col(f"nval{sfx}_{j}_{i}").alias("v"),
+                        ),
+                    ))
+                best = (F.least(*cand_structs) if len(cand_structs) > 1
+                        else cand_structs[0])
+                m = F.greatest(F.col(f"dlon{sfx}_{j}"), F.col(f"dlat{sfx}_{j}"))
+                fill = F.when(F.sqrt(best["d2"]) <= m, best["v"])
+                bil_ok = bil.isNotNull() & ~F.isnan(bil)
+                bil = F.when(bil_ok, bil).otherwise(fill)
             # lattice group exists for this region? add its combined
             # surface (null on corner-join miss = outside grid ⇒
             # region invalid, the PROJ-inf semantics); group index
@@ -388,9 +559,7 @@ def transform_points_sql(
         staged.append(total.alias(f"tot{sfx}"))
     out = out.select("*", *staged)
 
-    # ----- W1 winner over cheap staged columns -----------------------
-    # slots are ord-ascending, so last-write-wins = first valid slot
-    # scanning DESCENDING
+    # ----- validity flags over cheap staged columns ------------------
     valids = []
     for k in range(depth):
         sfx = f"_s{k}"
@@ -400,13 +569,67 @@ def transform_points_sql(
         )
     out = out.select("*", *valids)
 
+    keep = points.columns + ["cell5"]
+
+    if precedence == "count":
+        # W2 (raster.py:226-233): the region with the MOST valid
+        # member rows wins. One extra aggregate pass over the same
+        # zero-shuffle plan computes the (tiny, n_regions-wide) count
+        # vector on the driver; the winner pick is then pure column
+        # math with the counts as literals — the reference likewise
+        # pre-scans for valid counts before stacking.
+        cnt_exprs = []
+        for r in catalog.REGIONS:
+            e = None
+            for k in range(depth):
+                term = F.when(
+                    (F.col(f"rid_s{k}") == r.region_id) & F.col(f"ok_s{k}"),
+                    1,
+                ).otherwise(0)
+                e = term if e is None else e + term
+            cnt_exprs.append(F.sum(e).alias(r.region_id))
+        crow = out.agg(*cnt_exprs).collect()[0]
+        counts = {r.region_id: int(crow[r.region_id] or 0)
+                  for r in catalog.REGIONS}
+
+        def cnt_lit(rid: Column) -> Column:
+            e = None
+            for r in catalog.REGIONS:
+                c = F.lit(counts[r.region_id]).cast("long")
+                e = (F.when(rid == r.region_id, c) if e is None
+                     else e.when(rid == r.region_id, c))
+            return e
+
+        slot_structs = []
+        for k in range(depth):
+            sfx = f"_s{k}"
+            slot_structs.append(F.when(
+                F.col(f"ok{sfx}"),
+                F.struct(
+                    cnt_lit(F.col(f"rid{sfx}")).alias("c"),
+                    F.col(f"ord{sfx}").alias("o"),
+                    F.col(f"rid{sfx}").alias("r"),
+                    F.col(f"tot{sfx}").alias("t"),
+                ),
+            ))
+        w = (F.greatest(*slot_structs) if len(slot_structs) > 1
+             else slot_structs[0])
+        out = out.select("*", w.alias("_w2"))
+        return out.select(
+            *keep,
+            F.col("_w2.r").alias("region_id"),
+            F.col("_w2.o").cast("int").alias("region_ord"),
+            F.col("_w2.t").alias("sep"),
+        )
+
+    # ----- W1 winner: slots are ord-ascending, so last-write-wins =
+    # first valid slot scanning DESCENDING
     def pick(col_fmt: str) -> Column:
         return F.coalesce(*[
             F.when(F.col(f"ok_s{k}"), F.col(col_fmt.format(k=k)))
             for k in reversed(range(depth))
         ])
 
-    keep = points.columns + ["cell5"]
     return out.select(
         *keep,
         pick("rid_s{k}").alias("region_id"),

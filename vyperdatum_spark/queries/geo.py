@@ -465,10 +465,11 @@ def _knn_points_sql() -> str:
 
 def q_geo_knn_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _knn_points(spark, sf_dir)
-    tiles = tiler.build_tile_df(spark, _knn_grid_defs())
+    # grid_defs (not a tile DF) so the default SQL strategy compiles
+    # the NaN-masked grid + kNN candidate dims — pure-JVM J8 path
     out = tx.transform_points(
         spark, pts, "ellipse", "mllw", key_col="pid",
-        tiles=tiles, knn_fallback=True,
+        grid_defs=_knn_grid_defs(), knn_fallback=True,
     )
     return out.select("pid", "region_id", "z_out")
 
