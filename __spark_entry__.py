@@ -40,6 +40,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(relational.queries())
     except ImportError:
         pass
+    try:
+        from vyperdatum_spark.queries import pipeline
+
+        out.update(pipeline.queries())
+    except ImportError:
+        pass
     return out
 
 
@@ -56,6 +62,12 @@ def oracle_sql() -> dict[str, str]:
         from vyperdatum_spark.queries import relational
 
         out.update(relational.oracle_sql())
+    except ImportError:
+        pass
+    try:
+        from vyperdatum_spark.queries import pipeline
+
+        out.update(pipeline.oracle_sql())
     except ImportError:
         pass
     return out
