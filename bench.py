@@ -99,7 +99,14 @@ def ensure_bench_pages() -> str:
     """Generate the seeded 2M-row pages parquet once (shared input for
     both parallelism levels)."""
     path = os.path.join(BENCH_DIR, f"pages_{BENCH_PAGES}.parquet")
-    if os.path.exists(os.path.join(path, "_SUCCESS")) or os.path.exists(path):
+    from vyperdatum_spark.sources import tables
+
+    if tables.snapshot_ids(path):
+        return path
+    if os.path.exists(path):
+        # legacy raw dir from an earlier round: adopt it as snapshot 1
+        # (no rewrite) so every reader goes through the table layer
+        tables.adopt_parquet_dir(path, {"fixture": "pages"})
         return path
     os.makedirs(BENCH_DIR, exist_ok=True)
     from vyperdatum_spark.engine import datagen
@@ -109,7 +116,8 @@ def ensure_bench_pages() -> str:
         app_name="bench-datagen",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
-    # generate in chunks to bound driver memory
+    # generate in chunks to bound driver memory; each chunk is a
+    # fast-append snapshot commit (storage unified on the table layer)
     chunk = 250_000
     n_chunks = (BENCH_PAGES + chunk - 1) // chunk
     for c in range(n_chunks):
@@ -118,9 +126,10 @@ def ensure_bench_pages() -> str:
         # 8 files per 250k chunk → ~31k-row / ~4 MB files: enough task
         # granularity for 4+ scheduling waves at 32 cores (a single
         # wave makes wall time hostage to the slowest straggler)
-        spark.createDataFrame(pdf, datagen.PAGES_SCHEMA).coalesce(8).write.mode(
-            "append"
-        ).parquet(path)
+        tables.write_table(
+            spark.createDataFrame(pdf, datagen.PAGES_SCHEMA).coalesce(8),
+            path, mode="append", properties={"chunk": str(c)},
+        )
     spark.stop()
     return path
 
@@ -157,7 +166,9 @@ def scaling_child(pages_path: str, cores: int, reps: int = 3) -> None:
             "spark.locality.wait": "0s",
         },
     )
-    pages = spark.read.parquet(pages_path).select(
+    from vyperdatum_spark.sources import tables
+
+    pages = tables.read_table(spark, pages_path).select(
         "url", "warc_ts", "text", "lang"
     )
     n_rows = pages.count()  # warm the input (file listing, not timed)
@@ -315,7 +326,12 @@ def ensure_dedup_docs() -> str:
     """Seeded 1M-row documents table (~10% near-dup pairs) for the
     dedup throughput evidence."""
     path = os.path.join(BENCH_DIR, f"docs_{DEDUP_DOCS}.parquet")
+    from vyperdatum_spark.sources import tables
+
+    if tables.snapshot_ids(path):
+        return path
     if os.path.exists(os.path.join(path, "_SUCCESS")):
+        tables.adopt_parquet_dir(path, {"fixture": "docs"})
         return path
     os.makedirs(BENCH_DIR, exist_ok=True)
     from pyspark.sql import functions as F
@@ -345,7 +361,10 @@ def ensure_dedup_docs() -> str:
         text.alias("text"),
         F.lit("en").alias("lang"),
     ).repartition(64)
-    docs.write.mode("overwrite").parquet(path)
+    from vyperdatum_spark.sources import tables as _t
+
+    _t.write_table(docs, path, mode="overwrite",
+                   properties={"fixture": "docs"})
     spark.stop()
     return path
 
@@ -365,7 +384,9 @@ def dedup_scale_child(docs_path: str, cores: int, reps: int = 3) -> None:
                     "spark.sql.files.maxPartitionBytes": "8m",
                     "spark.locality.wait": "0s"},
     )
-    docs = spark.read.parquet(docs_path)
+    from vyperdatum_spark.sources import tables
+
+    docs = tables.read_table(spark, docs_path)
     n_rows = docs.count()
     times = []
     n_pairs = 0

@@ -56,7 +56,7 @@ def test_metrics_account_for_every_row(spark, tmp_path):
     out_dir = str(tmp_path / "m")
     pts = _points(spark, 300)
     ck.run_with_checkpoint(spark, pts, _tf, out_dir, "runM", n_buckets=3)
-    m = spark.read.parquet(f"{out_dir}/metrics").toPandas()
+    m = ck.read_metrics(spark, out_dir, "runM").toPandas()
     assert m.rows_in.sum() == 300
     out = ck.read_output(spark, out_dir).toPandas()
     assert m.rows_out.sum() == out.z_out.notna().sum()
@@ -70,17 +70,51 @@ def test_single_pass_staging_partition_pruned(spark, tmp_path):
     """The driving table is scanned ONCE (the staging write); every
     per-bucket read is partition-pruned to its own bucket=N directory
     — a resumed run never rescans completed data."""
+    from vyperdatum_spark.sources import tables
+
     out_dir = str(tmp_path / "prune")
     pts = _points(spark, 200)
     staged = ck.stage_buckets(spark, pts, out_dir, "runP", "pid", 4)
     part = staged.filter(F.col("bucket") == 2)
     plan = part._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "bucket" in plan
-    # staging is idempotent: second call reuses the materialized dirs
-    import os
-    mtime = os.path.getmtime(f"{out_dir}/stage/runP/_SUCCESS")
+    # staging is idempotent: a second call re-reads the run's existing
+    # snapshot instead of committing a new one
+    n_snaps = len(tables.snapshot_ids(f"{out_dir}/stage"))
     ck.stage_buckets(spark, pts, out_dir, "runP", "pid", 4)
-    assert os.path.getmtime(f"{out_dir}/stage/runP/_SUCCESS") == mtime
+    assert len(tables.snapshot_ids(f"{out_dir}/stage")) == n_snaps
     # all rows land in exactly one bucket dir each
     assert staged.count() == 200
     assert staged.select("bucket").distinct().count() == 4
+
+
+def test_checkpoint_commits_are_atomic_snapshots_with_time_travel(
+    spark, tmp_path
+):
+    """Round-3 storage unification: every bucket commit is ONE
+    snapshot-table manifest carrying data + metrics + done-marker; a
+    time-travel read AS OF the pre-crash snapshot shows exactly the
+    buckets committed before the crash."""
+    from vyperdatum_spark.sources import tables
+
+    out_dir = str(tmp_path / "tt")
+    pts = _points(spark)
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        ck.run_with_checkpoint(
+            spark, pts, _tf, out_dir, "runT", n_buckets=4, fail_after=2
+        )
+    pre_crash = max(tables.snapshot_ids(f"{out_dir}/data"))
+    pre_rows = ck.read_output(spark, out_dir).count()
+    # resume to completion
+    ck.run_with_checkpoint(spark, pts, _tf, out_dir, "runT", n_buckets=4)
+    full = ck.read_output(spark, out_dir)
+    assert full.count() == 400
+    # time travel: the pre-crash view is unchanged by the resume
+    old = ck.read_output(spark, out_dir, as_of=pre_crash)
+    assert old.count() == pre_rows < 400
+    # the pre-crash rows are a subset of the final output
+    assert old.join(full, "pid", "left_anti").count() == 0
+    # metrics came from the same manifests and cover all 4 buckets
+    m = ck.read_metrics(spark, out_dir, "runT").toPandas()
+    assert set(m.bucket) == {0, 1, 2, 3}
+    assert m.rows_in.sum() == 400

@@ -79,3 +79,28 @@ def test_incremental_consumer_exactly_once(spark, tmp_path):
     assert r3["skipped"]
     assert tables.snapshot_ids(out) == [1, 2]
     assert tables.consumer_watermark(out) == 2
+
+
+def test_adopt_parquet_dir_migrates_raw_layout(spark, tmp_path):
+    """Round-3 storage unification: an existing raw parquet directory
+    (legacy layout) is adopted as snapshot 1 without a rewrite, and
+    later commits append on top of it."""
+    import pandas as pd
+
+    from vyperdatum_spark.sources import tables
+
+    d = str(tmp_path / "legacy")
+    spark.createDataFrame(
+        pd.DataFrame({"a": [1, 2, 3]})
+    ).write.mode("overwrite").parquet(d)
+    sid = tables.adopt_parquet_dir(d, {"fixture": "t"})
+    assert sid == 1
+    assert tables.read_table(spark, d).count() == 3
+    # idempotent: second adopt is a no-op
+    assert tables.adopt_parquet_dir(d) == 1
+    # appends layer on the adopted snapshot
+    tables.write_table(
+        spark.createDataFrame(pd.DataFrame({"a": [4]})), d, mode="append"
+    )
+    assert tables.read_table(spark, d).count() == 4
+    assert tables.read_table(spark, d, as_of=1).count() == 3

@@ -33,8 +33,8 @@ def main(argv=None) -> int:
     p.add_argument("--buckets", type=int, default=64)
     p.add_argument("--allow-outside", action="store_true")
     p.add_argument("--knn", action="store_true")
-    p.add_argument("--strategy", default="broadcast",
-                   choices=["broadcast", "cogroup"])
+    p.add_argument("--strategy", default="sql",
+                   choices=["sql", "broadcast", "cogroup"])
     p.add_argument("--cores", type=int, default=None)
     args = p.parse_args(argv)
 

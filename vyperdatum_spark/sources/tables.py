@@ -92,6 +92,24 @@ def write_table(
     return snap_id
 
 
+def adopt_parquet_dir(table_dir: str, properties: dict | None = None) -> int:
+    """Adopt an existing raw parquet directory as snapshot 1 — the
+    Iceberg ``migrate``/``snapshot`` pattern: commit a manifest that
+    references the directory itself, no data rewrite. Readers skip the
+    manifest file (Spark ignores ``_``-prefixed files). No-op if the
+    table already has snapshots."""
+    meta = _load(table_dir)
+    if meta["current"] is not None:
+        return meta["current"]
+    meta["snapshots"].append({
+        "id": 1, "ts": time.time(), "mode": "adopt", "dirs": ["."],
+        "properties": dict(properties or {}),
+    })
+    meta["current"] = 1
+    _commit(table_dir, meta)
+    return 1
+
+
 def snapshot_ids(table_dir: str) -> list[int]:
     return [s["id"] for s in _load(table_dir)["snapshots"]]
 
