@@ -189,7 +189,8 @@ def ann_lsh_topk_sql(table: str = "embeddings", id_col: str = "vec_id",
 
 def ann_lsh_multi_topk(df: DataFrame, id_col: str = "vec_id",
                        emb_col: str = "embedding",
-                       n_queries: int = 10, k: int = 3) -> DataFrame:
+                       n_queries: int = 10, k: int = 3,
+                       n_tables: int = N_TABLES) -> DataFrame:
     """Multi-table LSH top-k: candidates share the query's bucket in
     ANY of the N_TABLES independent hyperplane tables (union →
     distinct pair → exact cosine re-rank). Raises recall over the
@@ -205,12 +206,12 @@ def ann_lsh_multi_topk(df: DataFrame, id_col: str = "vec_id",
         F.col(id_col), F.col(emb_col), norm_col(F.col(emb_col)).alias("nrm"),
         *[
             lsh_bucket_col(F.col(emb_col), TABLE_PLANES[t]).alias(f"_b{t}")
-            for t in range(N_TABLES)
+            for t in range(n_tables)
         ],
     )
     tb = F.explode(F.array(*[
         F.struct(F.lit(t).alias("t"), F.col(f"_b{t}").alias("bucket"))
-        for t in range(N_TABLES)
+        for t in range(n_tables)
     ])).alias("tb")
     with_b = staged.select(
         F.col(id_col), F.col(emb_col), F.col("nrm"), tb
