@@ -47,6 +47,9 @@ HEADLINE = [
     "rel_pricing_summary",
     "rel_nation_revenue",
     "rel_top_orders_per_cust",
+    "geo_raster_transform",
+    "geo_knn_edge",
+    "pipeline_end_to_end",
 ]
 
 BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "32000000"))
