@@ -257,19 +257,15 @@ def knn_cells_pdf(grids: dict, max_candidates: int = 64):
                             for i in keep
                         ],
                     })
-    # plain row tuples, NOT a pandas frame: None-padded candidate
-    # slots would coerce the int nidx columns to float64, which the
-    # non-Arrow createDataFrame path (plain spark-submit) rejects
-    # against LongType
-    rows = []
-    for rec in recs:
-        row = [rec["gkey"], rec["ix"], rec["iy"]]
-        for i in range(cmax):
-            if i < len(rec["_cand"]):
-                row.extend(rec["_cand"][i])
-            else:
-                row.extend((None, None, None, None))
-        rows.append(tuple(row))
+    # plain row tuples, NOT a pandas frame (pandas None-padding would
+    # coerce ints to float64, rejected by the non-Arrow
+    # createDataFrame path under plain spark-submit). Candidates ride
+    # in ONE array<struct> column: resolving 4 attributes per join
+    # instead of 4·C keeps Catalyst analysis time flat in C (a 24-col
+    # variant cost ~8 s of driver-side analysis per query build).
+    rows = [
+        (rec["gkey"], rec["ix"], rec["iy"], rec["_cand"]) for rec in recs
+    ]
     return rows, cmax
 
 
@@ -399,14 +395,18 @@ def _dims(spark: SparkSession, from_datum: str, to_datum: str,
     )
     if knn_fallback:
         knn_rows, n_cand = knn_cells_pdf(grids)
-        knn_schema = "gkey string, ix long, iy long" + "".join(
-            f", nlon_{i} double, nlat_{i} double, nval_{i} double, nidx_{i} long"
-            for i in range(n_cand)
+        knn_schema = (
+            "gkey string, ix long, iy long, "
+            "cands array<struct<lon: double, lat: double, "
+            "v: double, i: bigint>>"
         )
         knn_df = spark.createDataFrame(knn_rows, knn_schema)
+        # group indices that actually have candidate rows — joins are
+        # added only for those (slot, j) combinations
+        knn_js = {int(r[0].rsplit("#g", 1)[1]) for r in knn_rows}
     else:
-        knn_df, n_cand = None, 0
-    out = (slots, rdim, corners, depth, j_max, knn_df, n_cand)
+        knn_df, n_cand, knn_js = None, 0, set()
+    out = (slots, rdim, corners, depth, j_max, knn_df, n_cand, knn_js)
     if cacheable:
         _DIM_CACHE[key] = out
     return out
@@ -441,7 +441,7 @@ def transform_points_sql(
                        list), replacing the catalog fixture set.
     """
     x, y = F.col(x_col), F.col(y_col)
-    slots, rdim, corners, depth, j_max, knn_df, n_cand = _dims(
+    slots, rdim, corners, depth, j_max, knn_df, n_cand, knn_js = _dims(
         spark, from_datum, to_datum, grid_defs, knn_fallback
     )
 
@@ -484,16 +484,12 @@ def transform_points_sql(
                 & (ix == cn[f"ix{sfx}_{j}"]) & (iy == cn[f"iy{sfx}_{j}"]),
                 "left",
             )
-            if knn_fallback and n_cand:
+            if knn_fallback and n_cand and j in knn_js:
                 kn = knn_df.select(
                     F.col("gkey").alias(f"kg{sfx}_{j}"),
                     F.col("ix").alias(f"kx{sfx}_{j}"),
                     F.col("iy").alias(f"ky{sfx}_{j}"),
-                    *[
-                        F.col(f"{c}_{i}").alias(f"{c}{sfx}_{j}_{i}")
-                        for i in range(n_cand)
-                        for c in ("nlon", "nlat", "nval", "nidx")
-                    ],
+                    F.col("cands").alias(f"kc{sfx}_{j}"),
                 )
                 out = out.join(
                     F.broadcast(kn),
@@ -523,23 +519,24 @@ def transform_points_sql(
                 F.col(f"v00{sfx}_{j}"), F.col(f"v01{sfx}_{j}"),
                 F.col(f"v10{sfx}_{j}"), F.col(f"v11{sfx}_{j}"),
             )
-            if knn_fallback and n_cand:
+            if knn_fallback and n_cand and j in knn_js:
                 # J8: where bilinear is invalid (NaN corner or outside
                 # the lattice), fall back to the nearest valid node
                 # within one spacing — the exact _knn_fill semantics
                 # (argmin d², ties to the lowest row-major node index,
                 # gate sqrt(d²min) ≤ max(dlon, dlat))
+                arr = F.col(f"kc{sfx}_{j}")
                 cand_structs = []
                 for i in range(n_cand):
-                    nlon = F.col(f"nlon{sfx}_{j}_{i}")
-                    nlat = F.col(f"nlat{sfx}_{j}_{i}")
-                    d2 = (x - nlon) * (x - nlon) + (y - nlat) * (y - nlat)
+                    s = F.get(arr, i)  # null past the cell's count
+                    d2 = (x - s["lon"]) * (x - s["lon"]) \
+                        + (y - s["lat"]) * (y - s["lat"])
                     cand_structs.append(F.when(
-                        nlon.isNotNull(),
+                        s.isNotNull(),
                         F.struct(
                             d2.alias("d2"),
-                            F.col(f"nidx{sfx}_{j}_{i}").alias("i"),
-                            F.col(f"nval{sfx}_{j}_{i}").alias("v"),
+                            s["i"].alias("i"),
+                            s["v"].alias("v"),
                         ),
                     ))
                 best = (F.least(*cand_structs) if len(cand_structs) > 1
