@@ -354,6 +354,63 @@ def transform_projected_oracle_sql() -> str:
     )
 
 
+def q_geo_sampled_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-grid mode COMBINED with a projected input CRS (round-3
+    advisory fix): cells bin on the geoid-frame lon/lat recovered from
+    the projected coordinates, the FULL transform runs at each cell
+    center with z=0 (reference points.py:67), and per-point z adds the
+    axis-flipped input z to the center value (points.py:85)."""
+    pts = derived_points(spark, sf_dir)
+    px, py = hcrs.from_geoid_frame_cols("spcs_syn", F.col("x"), F.col("y"))
+    proj = pts.select("pid", px.alias("x"), py.alias("y"), "z")
+    out = tx.transform_points_sampled(
+        spark, proj, "ellipse", "mllw", key_col="pid",
+        input_crs="spcs_syn", res=cells.FINE_RES,
+    )
+    return out.select("pid", "region_id", "z_out")
+
+
+def sampled_projected_oracle_sql() -> str:
+    # replicate the engine's float64 op sequence exactly: project,
+    # recover geoid lon/lat, bin to fine cells, center back to the
+    # projected CRS, re-recover (the (a·k)/k double round trip is NOT
+    # an identity in floats — the oracle must follow the same path),
+    # full transform at the center with z=0, then z0 + fin·fout·z
+    fin, fout = pl.axis_flips("ellipse", "mllw")
+    fx, fy = hcrs.from_geoid_frame_sql("spcs_syn", "x", "y")
+    rx, ry, _ = hcrs.to_geoid_frame_sql("spcs_syn", "px", "py", "0.0")
+    cell = cells.encode_sql("rx", "ry", cells.FINE_RES)
+    sz = repr(cells.cell_size_deg(cells.FINE_RES))
+    mask = (1 << 29) - 1
+    lon_c = f"(-180.0 + (CAST((cell_r >> 29) & {mask} AS DOUBLE) + 0.5) * {sz})"
+    lat_c = f"(-90.0 + (CAST(cell_r & {mask} AS DOUBLE) + 0.5) * {sz})"
+    cx, cy = hcrs.from_geoid_frame_sql("spcs_syn", "lon_c", "lat_c")
+    rcx, rcy, _ = hcrs.to_geoid_frame_sql("spcs_syn", "cx", "cy", "0.0")
+    sep_whens = []
+    for r in catalog.REGIONS:
+        sep = sep_sql_for_region(r.region_id, "ellipse", "mllw", "rcx", "rcy")
+        sep_whens.append(
+            f"WHEN region_id = '{r.region_id}' "
+            f"THEN ROUND({fout!r} * ((1.0 * 0.0) + {sep}), 3)"
+        )
+    z0_case = "CASE " + " ".join(sep_whens) + " ELSE NULL END"
+    return (
+        f"{_pts_cte()}, proj AS (SELECT pid, {fx} AS px, {fy} AS py, z FROM pts), "
+        f"rec AS (SELECT pid, z, {rx} AS rx, {ry} AS ry FROM proj), "
+        f"binned AS (SELECT pid, z, {cell} AS cell_r FROM rec), "
+        f"centers AS (SELECT DISTINCT cell_r, {lon_c} AS lon_c, {lat_c} AS lat_c "
+        f"FROM binned), "
+        f"cproj AS (SELECT cell_r, {cx} AS cx, {cy} AS cy FROM centers), "
+        f"crec AS (SELECT cell_r, {rcx} AS rcx, {rcy} AS rcy FROM cproj), "
+        f"cass AS (SELECT cell_r, {region_case_sql('rcx', 'rcy')} AS region_id, "
+        f"rcx, rcy FROM crec), "
+        f"cz AS (SELECT cell_r, region_id, {z0_case} AS z0 FROM cass) "
+        f"SELECT b.pid, c.region_id, "
+        f"CASE WHEN c.z0 IS NOT NULL THEN c.z0 + {fin * fout!r} * b.z END AS z_out "
+        f"FROM binned b LEFT JOIN cz c USING (cell_r)"
+    )
+
+
 def q_geo_transform_outframe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Differing OUTPUT horizontal frame (ITRFS): x/y re-derived in the
     output frame and the z-correction ``new_z = new_z - (z - diffz)``
@@ -785,6 +842,7 @@ def queries() -> dict:
         "geo_version_fingerprint": q_geo_version_fingerprint,
         "geo_count_precedence": q_geo_count_precedence,
         "geo_transform_projected": q_geo_transform_projected,
+        "geo_sampled_projected": q_geo_sampled_projected,
         "geo_transform_outframe": q_geo_transform_outframe,
         "geo_transform_inverse": q_geo_transform_inverse,
         "geo_transform_mllw_to_mhw": q_geo_transform_mllw_to_mhw,
@@ -859,6 +917,7 @@ def oracle_sql() -> dict:
         ),
         "geo_count_precedence": count_precedence_oracle_sql(),
         "geo_transform_projected": transform_projected_oracle_sql(),
+        "geo_sampled_projected": sampled_projected_oracle_sql(),
         "geo_transform_outframe": transform_outframe_oracle_sql(),
         "geo_transform_inverse": transform_oracle_sql("mllw", "ellipse"),
         "geo_transform_mllw_to_mhw": transform_oracle_sql("mllw", "mhw"),
