@@ -219,3 +219,30 @@ def test_vert_wkt_no_trailing_comma_when_lineage_empty():
         "mllw", ["R"], ["pipe"], vdatum_version="vtest"
     )
     assert ",]" not in with_remark and "REMARK[" in with_remark
+
+
+def test_epsg_alias_breadth_round3():
+    """Round-3 widening: every frame code the reference itself uses
+    (vypercrs.py:20-25) resolves; 3D geographic codes split into
+    frame + ellipsoid height like the reference's set_crs."""
+    from vyperdatum_spark.datums import resolve
+
+    assert resolve.resolve(8999) == ("itrfs", None)
+    assert resolve.resolve(7911) == ("itrfs", "ellipse")
+    assert resolve.resolve(9000) == ("itrfs", None)
+    assert resolve.resolve(7912) == ("itrfs", "ellipse")
+    assert resolve.resolve(5714) == (None, "tss")
+    # (3D frame EPSG, vertical name) tuple — reference-shaped call
+    assert resolve.resolve((7912, "mllw")) == ("itrfs", "mllw")
+
+
+def test_horizontal_wkt_resolves_by_name():
+    from vyperdatum_spark.datums import resolve, vypercrs
+
+    for name in ("nad83s", "itrfs", "spcs_syn", "utm_syn"):
+        wkt = vypercrs.horiz_wkt_for_crs(name)
+        assert resolve.resolve(wkt) == (name, None)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unknown CRS"):
+        resolve.resolve('GEOGCRS["WGS84_UNKNOWN",DATUM["x"]]')

@@ -18,14 +18,23 @@ from __future__ import annotations
 
 from . import pipeline as pl, vypercrs
 
-# EPSG-code aliases → (horizontal CRS name | None, vertical datum | None)
+# EPSG-code aliases → (horizontal CRS name | None, vertical datum | None).
+# Covers every code the reference itself exercises (vypercrs.py:20-25
+# frame constants, core.py:1180 chart-datum default, the
+# state-plane/UTM test variants); 3D geographic codes resolve to
+# frame + ellipsoid height exactly like the reference's set_crs
+# 3D→2D+vertical split (vypercrs.py:788-797).
 EPSG_ALIASES: dict[int, tuple[str | None, str | None]] = {
     6318: ("nad83s", None),        # NAD83(2011) geographic 2D
     6319: ("nad83s", "ellipse"),   # NAD83(2011) geographic 3D
     5703: (None, "navd88"),        # NAVD88 height
-    5866: (None, "mllw"),          # MLLW depth
+    5714: (None, "tss"),           # MSL height (tss = the MSL surface)
+    5866: (None, "mllw"),          # MLLW depth (reference chart default)
     5868: (None, "mhw"),           # MHW
-    7912: ("itrfs", None),         # ITRF-style frame (synthetic analog)
+    8999: ("itrfs", None),         # ITRF2008 2D (synthetic frame analog)
+    7911: ("itrfs", "ellipse"),    # ITRF2008 3D
+    9000: ("itrfs", None),         # ITRF2014 2D
+    7912: ("itrfs", "ellipse"),    # ITRF2014 3D
     26919: ("utm_syn", None),      # UTM-style projected (synthetic)
     2264: ("spcs_syn", None),      # state-plane-style projected (synthetic)
 }
@@ -50,6 +59,18 @@ def resolve(spec) -> tuple[str | None, str | None]:
         return h1 or h2, v2 or v1
     if isinstance(spec, str):
         s = spec.strip()
+        if s.upper().startswith(("GEOGCRS[", "PROJCRS[")):
+            # horizontal-only WKT (the synthetic registry's own
+            # horiz_wkt_for_crs output): resolve by CRS name
+            from ..spatial import crs as hcrs
+
+            name = s.split('"', 2)[1].lower()
+            if name in hcrs.KNOWN_CRS:
+                return name, None
+            raise ValueError(
+                f"horizontal WKT names unknown CRS {name!r}; known: "
+                f"{sorted(hcrs.KNOWN_CRS)}"
+            )
         if s.upper().startswith(("VERTCRS[", "COMPOUNDCRS[")):
             parsed = vypercrs.parse_vert_wkt(s)
             horiz = None
