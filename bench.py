@@ -104,12 +104,23 @@ def ensure_bench_pages() -> str:
     path = os.path.join(BENCH_DIR, f"pages_{BENCH_PAGES}.parquet")
     from vyperdatum_spark.sources import tables
 
-    if tables.snapshot_ids(path):
+    def _complete(p: str) -> bool:
+        # a crash mid-generation leaves a partial chunk chain; only a
+        # snapshot carrying the completion marker (or an adopted
+        # legacy dir, which was complete by construction) counts
+        for s in tables.snapshot_ids(p):
+            meta = tables.snapshot_meta(p, s)
+            if (meta.get("properties", {}).get("complete")
+                    or meta.get("mode") == "adopt"):
+                return True
+        return False
+
+    if _complete(path):
         return path
-    if os.path.exists(path):
+    if os.path.exists(path) and not tables.snapshot_ids(path):
         # legacy raw dir from an earlier round: adopt it as snapshot 1
         # (no rewrite) so every reader goes through the table layer
-        tables.adopt_parquet_dir(path, {"fixture": "pages"})
+        tables.adopt_parquet_dir(path, {"fixture": "pages", "complete": "true"})
         return path
     os.makedirs(BENCH_DIR, exist_ok=True)
     from vyperdatum_spark.engine import datagen
@@ -129,9 +140,16 @@ def ensure_bench_pages() -> str:
         # 8 files per 250k chunk → ~31k-row / ~4 MB files: enough task
         # granularity for 4+ scheduling waves at 32 cores (a single
         # wave makes wall time hostage to the slowest straggler)
+        props = {"chunk": str(c)}
+        if c == n_chunks - 1:
+            props["complete"] = "true"
         tables.write_table(
             spark.createDataFrame(pdf, datagen.PAGES_SCHEMA).coalesce(8),
-            path, mode="append", properties={"chunk": str(c)},
+            path,
+            # chunk 0 overwrites: a partial chain from a crashed
+            # earlier generation must not be appended onto
+            mode="overwrite" if c == 0 else "append",
+            properties=props,
         )
     spark.stop()
     return path

@@ -118,3 +118,19 @@ def test_checkpoint_commits_are_atomic_snapshots_with_time_travel(
     m = ck.read_metrics(spark, out_dir, "runT").toPandas()
     assert set(m.bucket) == {0, 1, 2, 3}
     assert m.rows_in.sum() == 400
+
+
+def test_new_run_id_overwrites_previous_output(spark, tmp_path):
+    """Round-3 review fix: re-running the same out_dir under a NEW
+    run_id must replace the previous run's rows, not append a second
+    copy of every row to read_output."""
+    out_dir = str(tmp_path / "rr")
+    pts = _points(spark, 200)
+    ck.run_with_checkpoint(spark, pts, _tf, out_dir, "runA", n_buckets=2)
+    assert ck.read_output(spark, out_dir).count() == 200
+    ck.run_with_checkpoint(spark, pts, _tf, out_dir, "runB", n_buckets=2)
+    out = ck.read_output(spark, out_dir)
+    assert out.count() == 200  # no duplicates
+    # and a resume of runB afterwards stays idempotent
+    assert ck.run_with_checkpoint(
+        spark, pts, _tf, out_dir, "runB", n_buckets=2) == 0

@@ -276,3 +276,15 @@ def test_multi_table_lsh_recall_dominates_single(spark):
     r_multi = len(set(map(tuple, multi[["query_id", "neighbor_id"]].to_numpy())) & truth)
     assert r_multi >= r_single
     assert r_multi > 0
+
+
+def test_jaccard_candidates_are_normalized(spark):
+    """Round-3 review fix: unordered/duplicated/self candidate rows
+    must not produce mirrored or self-similarity output pairs."""
+    df = _docs_df(spark)
+    messy = spark.createDataFrame(
+        [(0, 3), (3, 0), (0, 3), (1, 1), (0, 1)], "doc_a long, doc_b long"
+    )
+    out = dedup.jaccard_pairs(df, threshold=0.0, candidates=messy).toPandas()
+    pairs = list(zip(out.doc_a, out.doc_b))
+    assert sorted(pairs) == [(0, 1), (0, 3)]  # no dup, mirror, or self

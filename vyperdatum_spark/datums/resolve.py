@@ -64,7 +64,12 @@ def resolve(spec) -> tuple[str | None, str | None]:
             # horiz_wkt_for_crs output): resolve by CRS name
             from ..spatial import crs as hcrs
 
-            name = s.split('"', 2)[1].lower()
+            parts = s.split('"', 2)
+            if len(parts) < 3:
+                raise ValueError(
+                    f"horizontal WKT has no quoted CRS name: {s[:60]!r}"
+                )
+            name = parts[1].lower()
             if name in hcrs.KNOWN_CRS:
                 return name, None
             raise ValueError(

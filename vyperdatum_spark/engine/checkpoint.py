@@ -112,6 +112,17 @@ def run_with_checkpoint(
     done = completed_buckets(spark, out_dir, run_id)
     if len(done) >= n_buckets:
         return 0
+    # a NEW run over an out_dir holding a previous run's output must
+    # not layer on top of it (append would silently double every row
+    # in read_output): the new run's first commit OVERWRITES, dropping
+    # the stale dirs from the current snapshot (they stay on disk for
+    # time travel). A resume of the SAME run keeps appending.
+    other_runs = any(
+        tables.snapshot_meta(_data_dir(out_dir), sid)
+        .get("properties", {}).get("run_id") not in (None, run_id)
+        for sid in tables.snapshot_ids(_data_dir(out_dir))
+    )
+    fresh_run = not done and other_runs
     staged = stage_buckets(spark, points, out_dir, run_id, key_col, n_buckets)
     processed = 0
     for b in range(n_buckets):
@@ -148,8 +159,9 @@ def run_with_checkpoint(
                 for r in m_rows
             ]
             rows_out = sum(m["rows_out"] for m in metrics)
+            mode = "overwrite" if (fresh_run and processed == 0) else "append"
             tables.write_table(
-                result.drop("_pid_"), _data_dir(out_dir), mode="append",
+                result.drop("_pid_"), _data_dir(out_dir), mode=mode,
                 properties={
                     "run_id": run_id,
                     "bucket": str(b),

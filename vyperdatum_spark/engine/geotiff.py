@@ -67,6 +67,16 @@ def write_geotiff(
     NaNs are replaced by ``nodata`` (reference raster.py:520-521)."""
     if not bands:
         raise ValueError("at least one band required")
+    if dy > 0:
+        # the baseline layout encodes orientation by the north-up
+        # convention (ModelPixelScale is unsigned per spec); a south-up
+        # raster needs a ModelTransformation matrix this minimal
+        # writer does not emit — refuse rather than flip silently
+        raise ValueError(
+            "south-up rasters (dy > 0) are not supported by the "
+            "baseline GeoTIFF writer (north-up ModelPixelScale "
+            "convention); pass dy < 0"
+        )
     h, w = bands[0][1].shape
     planes = []
     for name, arr in bands:

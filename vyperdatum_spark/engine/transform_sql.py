@@ -408,6 +408,12 @@ def _dims(spark: SparkSession, from_datum: str, to_datum: str,
         knn_df, n_cand, knn_js = None, 0, set()
     out = (slots, rdim, corners, depth, j_max, knn_df, n_cand, knn_js)
     if cacheable:
+        # entries from stopped sessions can never be served again
+        # (key includes appId) — evict them so long-lived drivers that
+        # cycle sessions don't pin dead DataFrames forever
+        app_id = key[0]
+        for k in [k for k in _DIM_CACHE if k[0] != app_id]:
+            del _DIM_CACHE[k]
         _DIM_CACHE[key] = out
     return out
 

@@ -504,8 +504,19 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         F.size("sset").alias("sz_b"),
     )
     if candidates is not None:
+        # normalize caller-supplied pairs: canonical (min, max) order,
+        # no self-pairs, no duplicates — an unordered or duplicated
+        # candidate feed must not yield mirrored/self output rows
+        norm = (
+            candidates.select(
+                F.least("doc_a", "doc_b").alias("doc_a"),
+                F.greatest("doc_a", "doc_b").alias("doc_b"),
+            )
+            .filter(F.col("doc_a") != F.col("doc_b"))
+            .distinct()
+        )
         joined = (
-            candidates.select("doc_a", "doc_b")
+            norm
             .join(a, "doc_a")
             .join(b, "doc_b")
             .filter(F.col("_lang_a") == F.col("_lang_b"))
