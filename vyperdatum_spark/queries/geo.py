@@ -667,6 +667,56 @@ def raster_oracle_sql() -> str:
     )
 
 
+def q_geo_geotiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 at BYTE-FORMAT fidelity (reference raster.py:513-546): the
+    transformed raster goes through the cluster band-table sink, the
+    pure-struct GeoTIFF writer, and the independent TIFF reader; the
+    query returns the decoded Float32 pixels, so the oracle hash
+    covers the full distributed-transform → strips → .tif → parse
+    round trip (Float32 quantization replicated as CAST(… AS REAL) on
+    the DuckDB side — IEEE round-to-nearest on both engines)."""
+    import pandas as pd
+
+    from ..engine import geotiff, raster, sinks
+    from ..streaming.windows import query_work_dir
+
+    out = raster.transform_raster_points(
+        spark, _raster_cells(spark), "mllw", "navd88",
+        input_is_height=False, allow_points_outside_coverage=True,
+    ).withColumnRenamed("cell_row", "row").withColumnRenamed("cell_col", "col")
+    d = query_work_dir("geo_tif")
+    sinks.to_band_table(
+        out, f"{d}/tbl", origin_x=_RAS_X0, origin_y=_RAS_Y0,
+        dx=_RAS_DX, dy=_RAS_DY, width=_RAS_W, height=_RAS_H,
+        bands=("z_out", "unc"), rows_per_strip=32,
+    )
+    geotiff.export_band_table(spark, f"{d}/tbl", f"{d}/out.tif")
+    bands, meta = geotiff.read_geotiff(f"{d}/out.tif")
+    assert meta["width"] == _RAS_W and meta["height"] == _RAS_H
+    rows_ix, cols_ix = [a.ravel() for a in
+                        __import__("numpy").meshgrid(
+                            range(_RAS_H), range(_RAS_W), indexing="ij")]
+    pdf = pd.DataFrame({
+        "cell_row": rows_ix.astype("int32"),
+        "cell_col": cols_ix.astype("int32"),
+        "z_tif": bands["z_out"].ravel().astype("float64"),
+        "unc_tif": bands["unc"].ravel().astype("float64"),
+    })
+    return spark.createDataFrame(pdf)
+
+
+def geotiff_roundtrip_oracle_sql() -> str:
+    # the raster oracle's z/unc, nodata-coalesced and quantized to
+    # Float32 exactly as the TIFF stores them
+    inner = raster_oracle_sql()
+    return (
+        f"SELECT cell_row, cell_col, "
+        f"CAST(CAST(COALESCE(z_out, -9999.0) AS REAL) AS DOUBLE) AS z_tif, "
+        f"CAST(CAST(COALESCE(unc, -9999.0) AS REAL) AS DOUBLE) AS unc_tif "
+        f"FROM ({inner})"
+    )
+
+
 def q_geo_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7 CSV sink under the oracle gate: transform → reference-shaped
     CSV export → read back with an explicit schema. Doubles survive
@@ -849,6 +899,7 @@ def queries() -> dict:
         "geo_transform_from_depth": q_geo_transform_from_depth,
         "geo_knn_edge": q_geo_knn_edge,
         "geo_raster_transform": q_geo_raster_transform,
+        "geo_geotiff_roundtrip": q_geo_geotiff_roundtrip,
         "geo_csv_roundtrip": q_geo_csv_roundtrip,
         "geo_parquet_sink_roundtrip": q_geo_parquet_sink_roundtrip,
         "geo_lineage_wkt": q_geo_lineage_wkt,
@@ -924,6 +975,7 @@ def oracle_sql() -> dict:
         "geo_transform_from_depth": transform_oracle_sql("noaa chart datum", "navd88"),
         "geo_knn_edge": knn_edge_oracle_sql(),
         "geo_raster_transform": raster_oracle_sql(),
+        "geo_geotiff_roundtrip": geotiff_roundtrip_oracle_sql(),
         "geo_csv_roundtrip": csv_roundtrip_oracle_sql(),
         "geo_parquet_sink_roundtrip": parquet_sink_oracle_sql(),
         "geo_lineage_wkt": lineage_wkt_oracle_sql(),
