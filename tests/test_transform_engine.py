@@ -384,3 +384,106 @@ def test_sql_knn_edge_matches_broadcast(spark):
         np.nan_to_num(a.z_out.to_numpy(dtype=float), nan=-9e9),
         np.nan_to_num(b.z_out.to_numpy(dtype=float), nan=-9e9),
     )
+
+
+def _knn_cells_bruteforce(grids, max_candidates=64):
+    """Reference implementation of the candidate build: per candidate
+    cell, scan ALL valid nodes (the pre-round-4 O(cells × nodes)
+    algorithm). Used only to prove the bucketed build returns the
+    exact same rows."""
+    import math
+
+    recs = []
+    for region_id, gs in grids.items():
+        for j, (lon0, lat0, dlon, dlat, nx, ny, w) in enumerate(gs):
+            valid = np.isfinite(w)
+            if not valid.any():
+                continue
+            has_nan = bool((~valid).any())
+            m = max(dlon, dlat)
+            viy, vix = np.nonzero(valid)
+            vlon = lon0 + vix.astype(np.float64) * dlon
+            vlat = lat0 + viy.astype(np.float64) * dlat
+            vval = w[viy, vix]
+            vidx = viy.astype(np.int64) * nx + vix.astype(np.int64)
+            r = 0.5 * math.hypot(dlon, dlat)
+            ix0 = int(math.floor((vlon.min() - m - lon0) / dlon))
+            ix1 = int(math.floor((vlon.max() + m - lon0) / dlon))
+            iy0 = int(math.floor((vlat.min() - m - lat0) / dlat))
+            iy1 = int(math.floor((vlat.max() + m - lat0) / dlat))
+            for iy in range(iy0, iy1 + 1):
+                for ix in range(ix0, ix1 + 1):
+                    interior = 0 <= ix <= nx - 2 and 0 <= iy <= ny - 2
+                    if interior and not has_nan:
+                        continue
+                    if interior and (valid[iy, ix] and valid[iy, ix + 1]
+                                     and valid[iy + 1, ix]
+                                     and valid[iy + 1, ix + 1]):
+                        continue
+                    cx = lon0 + (ix + 0.5) * dlon
+                    cy = lat0 + (iy + 0.5) * dlat
+                    d = np.hypot(vlon - cx, vlat - cy)
+                    dmin = float(d.min())
+                    if dmin > m + r:
+                        continue
+                    keep = np.flatnonzero(
+                        d <= min(dmin + 2.0 * r, m + r) + 1e-12
+                    )
+                    keep = keep[np.argsort(vidx[keep])]
+                    recs.append((
+                        f"{region_id}#g{j}", ix, iy,
+                        [(float(vlon[i]), float(vlat[i]),
+                          float(vval[i]), int(vidx[i])) for i in keep],
+                    ))
+    return recs
+
+
+def test_knn_candidate_build_bucketed():
+    """Round-4 (VERDICT #3): the neighborhood-bucketed candidate build
+    returns the EXACT brute-force rows (same cells, same candidates,
+    same order) on a NaN-holed grid."""
+    from vyperdatum_spark.engine import transform_sql as tsql
+
+    rng = np.random.default_rng(42)
+    nx, ny = 80, 70
+    w = rng.normal(size=(ny, nx))
+    w[:4, :] = np.nan            # NaN band along the bottom edge
+    w[:, -6:] = np.nan           # and the right edge
+    holes = rng.random((ny, nx)) < 0.08
+    w[holes] = np.nan            # interior holes
+    grids = {"REG": [(-75.0, 33.0, 0.01, 0.0125, nx, ny, w)]}
+
+    got, cmax = tsql.knn_cells_pdf(grids)
+    exp = _knn_cells_bruteforce(grids)
+    assert len(got) == len(exp) and len(exp) > 50
+    assert cmax <= 64
+    for g, e in zip(got, exp):
+        assert g == e
+
+
+def test_knn_candidate_build_linear_in_edge_cells():
+    """Round-4 (VERDICT #3): build cost must be linear in edge cells,
+    not O(edge_cells × valid_nodes). A 600×600 grid (360k nodes,
+    ~21k candidate cells after NaN holes) would need ~10^10 float ops
+    brute-force; the bucketed build does ~10^6 and finishes in
+    seconds. Bound generously to stay robust on a noisy host."""
+    import time
+
+    from vyperdatum_spark.engine import transform_sql as tsql
+
+    rng = np.random.default_rng(7)
+    nx = ny = 600
+    w = rng.normal(size=(ny, nx))
+    holes = rng.random((ny, nx)) < 0.02
+    w[holes] = np.nan
+    grids = {"BIG": [(-80.0, 30.0, 0.001, 0.001, nx, ny, w)]}
+
+    t0 = time.monotonic()
+    rows, cmax = tsql.knn_cells_pdf(grids, max_candidates=64)
+    dt = time.monotonic() - t0
+    # every interior invalid-corner cell + the exterior ring
+    inv = ~(np.isfinite(w[:-1, :-1]) & np.isfinite(w[:-1, 1:])
+            & np.isfinite(w[1:, :-1]) & np.isfinite(w[1:, 1:]))
+    assert len(rows) >= int(inv.sum())  # all fillable interior cells present
+    assert cmax <= 64
+    assert dt < 30.0, f"candidate build took {dt:.1f}s — not linear?"

@@ -62,8 +62,9 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    qs = entry.queries()
-    oracles = entry.oracle_sql()
+    qs = entry.queries_extended()
+    oracles = entry.oracle_sql_extended()
+    exposed = set(entry.EXPOSED)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
@@ -101,7 +102,8 @@ def main():
             failures.append((name, "; ".join(problems[:2])))
             print(f"FAIL  {name}: " + " | ".join(problems))
         else:
-            print(f"OK    {name}: {len(got)} rows match")
+            tag = "" if name in exposed else "  [extended-only]"
+            print(f"OK    {name}: {len(got)} rows match{tag}")
 
     spark.stop()
     print(f"\n{len(failures)} failures" if failures else "\nALL MATCH")

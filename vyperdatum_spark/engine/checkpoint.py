@@ -7,10 +7,13 @@ analog (single-process batch); we implement **batch checkpointing**
 (SURVEY.md §2.8): the driving table is split into deterministic hash
 buckets (``pmod(xxhash64(key), n_buckets)``); each bucket is
 transformed and committed as ONE snapshot whose manifest atomically
-carries the data files, the bucket-done marker, AND the per-partition
-metrics (as snapshot summary properties — exactly how Iceberg
-consumers commit watermarks with their rows). A restarted run lists
-committed buckets from the manifests and processes only the rest, so
+carries the data files, the bucket-done marker, AND a reference to the
+per-partition metrics (payload in a sidecar file, pointer in the
+snapshot summary properties — exactly how Iceberg consumers commit
+watermarks with their rows while keeping manifests small). A restarted
+run lists committed buckets from the CURRENT manifest chain only
+(superseded snapshots are time-travel history, not state) and
+processes only the rest, so
 completed work is never recomputed and the final output is identical
 to an uninterrupted run. Time travel falls out for free: reading the
 output table AS OF a pre-crash snapshot shows exactly the buckets
@@ -34,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -54,11 +58,36 @@ def _data_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "data")
 
 
+def _write_metrics_sidecar(out_dir: str, run_id: str, bucket: int,
+                           metrics: list[dict]) -> str:
+    """Persist one bucket's per-partition metrics to a sidecar file;
+    returns the path RELATIVE to the data table dir (stored in the
+    snapshot properties as ``metrics_ref``). ``_``-prefixed so Spark's
+    file listing ignores it."""
+    rel_dir = "_metrics"
+    abs_dir = os.path.join(_data_dir(out_dir), rel_dir)
+    os.makedirs(abs_dir, exist_ok=True)
+    rel = os.path.join(rel_dir, f"{run_id}-b{bucket:05d}-{uuid.uuid4().hex[:8]}.json")
+    tmp = os.path.join(_data_dir(out_dir), rel + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(metrics, f)
+    os.replace(tmp, os.path.join(_data_dir(out_dir), rel))
+    return rel
+
+
 def completed_buckets(spark: SparkSession, out_dir: str, run_id: str) -> set[int]:
-    """Buckets whose snapshot committed (manifest scan, no Spark job)."""
+    """Buckets whose snapshot committed AND is still part of the
+    current table state (manifest scan, no Spark job).
+
+    Only snapshots on the CURRENT chain count: if run A partially
+    completed, run B overwrote the table, and run A is then resumed,
+    A's superseded snapshots must NOT count as done — otherwise A
+    would append its remaining buckets onto B's data, silently
+    producing mixed-run output. Walking tables.current_chain makes the
+    resumed A see zero completed buckets and start a fresh overwrite."""
     done = set()
-    for sid in tables.snapshot_ids(_data_dir(out_dir)):
-        p = tables.snapshot_meta(_data_dir(out_dir), sid).get("properties", {})
+    for snap in tables.current_chain(_data_dir(out_dir)):
+        p = snap.get("properties", {})
         if p.get("run_id") == run_id and p.get("status") == "done":
             done.add(int(p["bucket"]))
     return done
@@ -116,11 +145,12 @@ def run_with_checkpoint(
     # not layer on top of it (append would silently double every row
     # in read_output): the new run's first commit OVERWRITES, dropping
     # the stale dirs from the current snapshot (they stay on disk for
-    # time travel). A resume of the SAME run keeps appending.
+    # time travel). A resume of the SAME run keeps appending. Only the
+    # current chain matters — a foreign run_id in superseded history is
+    # already detached from the table state.
     other_runs = any(
-        tables.snapshot_meta(_data_dir(out_dir), sid)
-        .get("properties", {}).get("run_id") not in (None, run_id)
-        for sid in tables.snapshot_ids(_data_dir(out_dir))
+        snap.get("properties", {}).get("run_id") not in (None, run_id)
+        for snap in tables.current_chain(_data_dir(out_dir))
     )
     fresh_run = not done and other_runs
     staged = stage_buckets(spark, points, out_dir, run_id, key_col, n_buckets)
@@ -160,6 +190,16 @@ def run_with_checkpoint(
             ]
             rows_out = sum(m["rows_out"] for m in metrics)
             mode = "overwrite" if (fresh_run and processed == 0) else "append"
+            # Metrics payload goes to a per-bucket SIDECAR file, not
+            # into the manifest: the manifest is fully rewritten on
+            # every commit, so inlining per-partition metrics would
+            # make manifest size (and total rewrite I/O over a run)
+            # grow O(buckets × partitions). The property keeps only
+            # the sidecar reference + the scalar done-marker fields.
+            # A crash after the sidecar write but before the manifest
+            # commit leaves an orphan sidecar — harmless, exactly like
+            # an orphan data dir.
+            sidecar = _write_metrics_sidecar(out_dir, run_id, b, metrics)
             tables.write_table(
                 result.drop("_pid_"), _data_dir(out_dir), mode=mode,
                 properties={
@@ -167,7 +207,7 @@ def run_with_checkpoint(
                     "bucket": str(b),
                     "status": "done",
                     "rows_out": str(rows_out),
-                    "metrics": json.dumps(metrics),
+                    "metrics_ref": sidecar,
                 },
             )
         finally:
@@ -186,16 +226,24 @@ def read_output(spark: SparkSession, out_dir: str,
 
 def read_metrics(spark: SparkSession, out_dir: str,
                  run_id: str | None = None) -> DataFrame:
-    """Per-(bucket, partition) metrics, reassembled from the snapshot
-    summary properties (driver-side manifest scan, no data read)."""
+    """Per-(bucket, partition) metrics for the CURRENT table state,
+    reassembled from snapshot properties + metrics sidecar files
+    (driver-side manifest scan, no data read). Only the current chain
+    is consulted, so metrics of runs whose output was later
+    overwritten are excluded — with or without ``run_id``."""
     rows = []
-    for sid in tables.snapshot_ids(_data_dir(out_dir)):
-        p = tables.snapshot_meta(_data_dir(out_dir), sid).get("properties", {})
+    for snap in tables.current_chain(_data_dir(out_dir)):
+        p = snap.get("properties", {})
         if p.get("status") != "done":
             continue
         if run_id is not None and p.get("run_id") != run_id:
             continue
-        for m in json.loads(p.get("metrics", "[]")):
+        if "metrics_ref" in p:
+            with open(os.path.join(_data_dir(out_dir), p["metrics_ref"])) as f:
+                payload = json.load(f)
+        else:  # pre-sidecar manifests inlined the payload
+            payload = json.loads(p.get("metrics", "[]"))
+        for m in payload:
             rows.append((
                 p["run_id"], int(p["bucket"]), int(m["partition_id"]),
                 int(m["rows_in"]), int(m["rows_out"]),

@@ -963,10 +963,16 @@ def _transform_sampled_frame(
     )
     out = with_cell.join(cell_sep, "cell_r", "left")
     covered = F.col("_cell_z0").isNotNull()
+    # final round(3) mirrors the default sampled path and the full
+    # path (core.py:462 rounds once at output): both sampled modes
+    # must emit the same precision for the same request shape
     return (
         out.withColumn(
             "z_out",
-            F.when(covered, F.col("_cell_z0") + F.lit(fin * fout) * z),
+            F.when(
+                covered,
+                F.round(F.col("_cell_z0") + F.lit(fin * fout) * z, 3),
+            ),
         )
         .withColumn("covered", covered)
         .drop("_cell_z0")

@@ -202,9 +202,20 @@ def knn_cells_pdf(grids: dict, max_candidates: int = 64):
     is always valid (interior, 4 finite corners) are skipped — the
     fill is never consulted there.
 
-    Returns (row tuples (gkey, ix, iy, nlon_i/nlat_i/nval_i/nidx_i…),
-    C). Candidate slots are vidx-ascending, matching np.argmin's
+    Returns (row tuples (gkey, ix, iy, cands array<struct>), C).
+    Candidate slots are vidx-ascending, matching np.argmin's
     first-minimum tie-break over the row-major valid-node enumeration.
+
+    SCALE: build cost is linear in the number of EDGE cells, not
+    O(edge_cells × valid_nodes). Candidate cells are enumerated by
+    vectorized corner-mask math (interior cells with an invalid
+    corner + the exterior ring), and each cell searches only the
+    nodes inside its (m + r)-radius lattice NEIGHBORHOOD — a
+    ≤(2·ceil((m+r)/spacing)+2)² window sliced straight out of the
+    valid mask. Any node that can ever be kept satisfies
+    d ≤ m + r (the fill gate), so the window search returns exactly
+    the brute-force candidate set (parity pytest:
+    tests/test_transform_sql.py::test_knn_candidate_build_bucketed).
     """
     recs: list[dict] = []
     cmax = 0
@@ -216,47 +227,74 @@ def knn_cells_pdf(grids: dict, max_candidates: int = 64):
             has_nan = bool((~valid).any())
             m = max(dlon, dlat)
             viy, vix = np.nonzero(valid)
-            vlon = lon0 + vix.astype(np.float64) * dlon
-            vlat = lat0 + viy.astype(np.float64) * dlat
-            vval = w[viy, vix]
-            vidx = viy.astype(np.int64) * nx + vix.astype(np.int64)
             r = 0.5 * math.hypot(dlon, dlat)
-            ix0 = int(math.floor((vlon.min() - m - lon0) / dlon))
-            ix1 = int(math.floor((vlon.max() + m - lon0) / dlon))
-            iy0 = int(math.floor((vlat.min() - m - lat0) / dlat))
-            iy1 = int(math.floor((vlat.max() + m - lat0) / dlat))
+            reach = m + r  # max node distance that can ever be kept
+            vlon_min = lon0 + float(vix.min()) * dlon
+            vlon_max = lon0 + float(vix.max()) * dlon
+            vlat_min = lat0 + float(viy.min()) * dlat
+            vlat_max = lat0 + float(viy.max()) * dlat
+            ix0 = int(math.floor((vlon_min - m - lon0) / dlon))
+            ix1 = int(math.floor((vlon_max + m - lon0) / dlon))
+            iy0 = int(math.floor((vlat_min - m - lat0) / dlat))
+            iy1 = int(math.floor((vlat_max + m - lat0) / dlat))
+            # ---- enumerate candidate cells (vectorized, O(cells)) ----
+            cand_cells: list[tuple[int, int]] = []
+            if has_nan:
+                # interior cells where some corner is invalid
+                inv = ~(valid[:-1, :-1] & valid[:-1, 1:]
+                        & valid[1:, :-1] & valid[1:, 1:])
+                ciy, cix = np.nonzero(inv)
+                sel = (cix >= ix0) & (cix <= ix1) & (ciy >= iy0) & (ciy <= iy1)
+                cand_cells.extend(zip(cix[sel].tolist(), ciy[sel].tolist()))
             for iy in range(iy0, iy1 + 1):
                 for ix in range(ix0, ix1 + 1):
-                    interior = 0 <= ix <= nx - 2 and 0 <= iy <= ny - 2
-                    if interior and not has_nan:
-                        continue
-                    if interior and (valid[iy, ix] and valid[iy, ix + 1]
-                                     and valid[iy + 1, ix]
-                                     and valid[iy + 1, ix + 1]):
-                        continue  # bilinear always valid in this cell
-                    cx = lon0 + (ix + 0.5) * dlon
-                    cy = lat0 + (iy + 0.5) * dlat
-                    d = np.hypot(vlon - cx, vlat - cy)
-                    dmin = float(d.min())
-                    if dmin > m + r:
-                        continue  # no point in this cell is fillable
-                    keep = np.flatnonzero(d <= min(dmin + 2.0 * r, m + r) + 1e-12)
-                    keep = keep[np.argsort(vidx[keep])]
-                    cmax = max(cmax, len(keep))
-                    if cmax > max_candidates:
-                        raise RuntimeError(
-                            f"kNN candidate set {cmax} exceeds "
-                            f"{max_candidates} for {region_id}#g{j} "
-                            f"cell ({ix},{iy}); use the broadcast strategy"
-                        )
-                    recs.append({
-                        "gkey": f"{region_id}#g{j}", "ix": ix, "iy": iy,
-                        "_cand": [
-                            (float(vlon[i]), float(vlat[i]),
-                             float(vval[i]), int(vidx[i]))
-                            for i in keep
-                        ],
-                    })
+                    if 0 <= ix <= nx - 2 and 0 <= iy <= ny - 2:
+                        continue  # interior handled above
+                    cand_cells.append((ix, iy))
+            cand_cells.sort(key=lambda c: (c[1], c[0]))  # (iy, ix) order
+            # half-width of the node window, in lattice steps
+            wx = (reach + 1e-9) / dlon + 0.5
+            wy = (reach + 1e-9) / dlat + 0.5
+            for ix, iy in cand_cells:
+                cx = lon0 + (ix + 0.5) * dlon
+                cy = lat0 + (iy + 0.5) * dlat
+                bx0 = max(0, int(math.floor(ix + 0.5 - wx)))
+                bx1 = min(nx - 1, int(math.ceil(ix + 0.5 + wx)))
+                by0 = max(0, int(math.floor(iy + 0.5 - wy)))
+                by1 = min(ny - 1, int(math.ceil(iy + 0.5 + wy)))
+                if bx0 > bx1 or by0 > by1:
+                    continue
+                sub = valid[by0:by1 + 1, bx0:bx1 + 1]
+                syy, sxx = np.nonzero(sub)
+                if len(sxx) == 0:
+                    continue
+                nix = (sxx + bx0).astype(np.int64)
+                niy = (syy + by0).astype(np.int64)
+                nlon = lon0 + nix.astype(np.float64) * dlon
+                nlat = lat0 + niy.astype(np.float64) * dlat
+                d = np.hypot(nlon - cx, nlat - cy)
+                dmin = float(d.min())
+                if dmin > m + r:
+                    continue  # no point in this cell is fillable
+                keep = np.flatnonzero(d <= min(dmin + 2.0 * r, m + r) + 1e-12)
+                nidx = niy * nx + nix
+                keep = keep[np.argsort(nidx[keep])]
+                cmax = max(cmax, len(keep))
+                if cmax > max_candidates:
+                    raise RuntimeError(
+                        f"kNN candidate set {cmax} exceeds "
+                        f"{max_candidates} for {region_id}#g{j} "
+                        f"cell ({ix},{iy}); use the broadcast strategy"
+                    )
+                nval = w[niy, nix]
+                recs.append({
+                    "gkey": f"{region_id}#g{j}", "ix": ix, "iy": iy,
+                    "_cand": [
+                        (float(nlon[i]), float(nlat[i]),
+                         float(nval[i]), int(nidx[i]))
+                        for i in keep
+                    ],
+                })
     # plain row tuples, NOT a pandas frame (pandas None-padding would
     # coerce ints to float64, rejected by the non-Arrow
     # createDataFrame path under plain spark-submit). Candidates ride
@@ -364,6 +402,7 @@ def bilinear_expr(
 # --------------------------------------------------------------------
 
 _DIM_CACHE: dict = {}
+_DIM_CACHE_MAX = 32
 
 
 def _dims(spark: SparkSession, from_datum: str, to_datum: str,
@@ -382,6 +421,8 @@ def _dims(spark: SparkSession, from_datum: str, to_datum: str,
     if cacheable:
         hit = _DIM_CACHE.get(key)
         if hit is not None:
+            _DIM_CACHE.pop(key)
+            _DIM_CACHE[key] = hit  # refresh LRU position
             return hit
     slots_pdf, depth = cover_slots_pdf()
     grids = combined_grids(from_datum, to_datum, grid_defs)
@@ -408,13 +449,15 @@ def _dims(spark: SparkSession, from_datum: str, to_datum: str,
         knn_df, n_cand, knn_js = None, 0, set()
     out = (slots, rdim, corners, depth, j_max, knn_df, n_cand, knn_js)
     if cacheable:
-        # entries from stopped sessions can never be served again
-        # (key includes appId) — evict them so long-lived drivers that
-        # cycle sessions don't pin dead DataFrames forever
-        app_id = key[0]
-        for k in [k for k in _DIM_CACHE if k[0] != app_id]:
-            del _DIM_CACHE[k]
-        _DIM_CACHE[key] = out
+        # bounded LRU, NOT evict-by-foreign-appId: a driver process can
+        # host several live sessions concurrently, and evicting every
+        # entry whose appId differs from the current one would thrash
+        # the other sessions' dims on each rebuild. The cap bounds how
+        # long dead-session entries (unreachable keys) linger instead.
+        _DIM_CACHE.pop(key, None)
+        _DIM_CACHE[key] = out  # dict preserves insertion order → LRU tail
+        while len(_DIM_CACHE) > _DIM_CACHE_MAX:
+            _DIM_CACHE.pop(next(iter(_DIM_CACHE)))
     return out
 
 def transform_points_sql(
@@ -469,8 +512,13 @@ def transform_points_sql(
                 for c in ("gkey", "lon0", "lat0", "dlon", "dlat")
             ],
         )
+        # unbound F.col, NOT out[...]: Dataset.col() resolves against
+        # the ANALYZED plan, so a bound reference inside this loop
+        # re-analyzes the whole growing join tree once per iteration —
+        # O(joins²) driver time (measured ~8 s of the 12.5 s
+        # geo_knn_edge wall). slot_{k} is unambiguous (left side only).
         out = out.join(
-            F.broadcast(rd), out[f"slot_{k}"] == rd[f"rid{sfx}"], "left"
+            F.broadcast(rd), F.col(f"slot_{k}") == rd[f"rid{sfx}"], "left"
         )
         for j in range(j_max):
             ix = F.floor((x - F.col(f"lon0{sfx}_{j}")) / F.col(f"dlon{sfx}_{j}")).cast("long")
@@ -513,19 +561,35 @@ def transform_points_sql(
     # 27 s → ~4 s on 8M rows × 8 cores after staging). Multiply-
     # referenced non-trivial aliases survive CollapseProject, so each
     # tree is evaluated exactly once per row.
+    # kNN groups first stage their RAW bilinear as a real column: the
+    # fill must only run where the interpolation missed, and gating on
+    # a staged column (a) keeps the C-way argmin inside the lazily-
+    # evaluated `otherwise` branch of a cheap-predicate CaseWhen —
+    # interior rows (≈ all rows at scale) never touch it — and (b)
+    # avoids re-inlining the bilinear tree 3× through the
+    # isNotNull/isnan/value references (the round-1 inlining trap).
+    knn_pairs = [
+        (k, j) for k in range(depth) for j in range(j_max)
+        if knn_fallback and n_cand and j in knn_js
+    ]
+    if knn_pairs:
+        out = out.select("*", *[
+            bilinear_expr(
+                x, y,
+                F.col(f"lon0_s{k}_{j}"), F.col(f"lat0_s{k}_{j}"),
+                F.col(f"dlon_s{k}_{j}"), F.col(f"dlat_s{k}_{j}"),
+                F.col(f"v00_s{k}_{j}"), F.col(f"v01_s{k}_{j}"),
+                F.col(f"v10_s{k}_{j}"), F.col(f"v11_s{k}_{j}"),
+            ).alias(f"bil_s{k}_{j}")
+            for k, j in knn_pairs
+        ])
+
     staged = []
     for k in range(depth):
         sfx = f"_s{k}"
         total = F.lit(0.0)
         for j in range(j_max):
-            bil = bilinear_expr(
-                x, y,
-                F.col(f"lon0{sfx}_{j}"), F.col(f"lat0{sfx}_{j}"),
-                F.col(f"dlon{sfx}_{j}"), F.col(f"dlat{sfx}_{j}"),
-                F.col(f"v00{sfx}_{j}"), F.col(f"v01{sfx}_{j}"),
-                F.col(f"v10{sfx}_{j}"), F.col(f"v11{sfx}_{j}"),
-            )
-            if knn_fallback and n_cand and j in knn_js:
+            if (k, j) in knn_pairs:
                 # J8: where bilinear is invalid (NaN corner or outside
                 # the lattice), fall back to the nearest valid node
                 # within one spacing — the exact _knn_fill semantics
@@ -549,8 +613,16 @@ def transform_points_sql(
                         else cand_structs[0])
                 m = F.greatest(F.col(f"dlon{sfx}_{j}"), F.col(f"dlat{sfx}_{j}"))
                 fill = F.when(F.sqrt(best["d2"]) <= m, best["v"])
-                bil_ok = bil.isNotNull() & ~F.isnan(bil)
-                bil = F.when(bil_ok, bil).otherwise(fill)
+                b = F.col(f"bil{sfx}_{j}")
+                bil = F.when(b.isNotNull() & ~F.isnan(b), b).otherwise(fill)
+            else:
+                bil = bilinear_expr(
+                    x, y,
+                    F.col(f"lon0{sfx}_{j}"), F.col(f"lat0{sfx}_{j}"),
+                    F.col(f"dlon{sfx}_{j}"), F.col(f"dlat{sfx}_{j}"),
+                    F.col(f"v00{sfx}_{j}"), F.col(f"v01{sfx}_{j}"),
+                    F.col(f"v10{sfx}_{j}"), F.col(f"v11{sfx}_{j}"),
+                )
             # lattice group exists for this region? add its combined
             # surface (null on corner-join miss = outside grid ⇒
             # region invalid, the PROJ-inf semantics); group index

@@ -406,7 +406,8 @@ def sampled_projected_oracle_sql() -> str:
         f"rcx, rcy FROM crec), "
         f"cz AS (SELECT cell_r, region_id, {z0_case} AS z0 FROM cass) "
         f"SELECT b.pid, c.region_id, "
-        f"CASE WHEN c.z0 IS NOT NULL THEN c.z0 + {fin * fout!r} * b.z END AS z_out "
+        f"CASE WHEN c.z0 IS NOT NULL "
+        f"THEN ROUND(c.z0 + {fin * fout!r} * b.z, 3) END AS z_out "
         f"FROM binned b LEFT JOIN cz c USING (cell_r)"
     )
 

@@ -95,14 +95,30 @@ def write_table(
 def adopt_parquet_dir(table_dir: str, properties: dict | None = None) -> int:
     """Adopt an existing raw parquet directory as snapshot 1 — the
     Iceberg ``migrate``/``snapshot`` pattern: commit a manifest that
-    references the directory itself, no data rewrite. Readers skip the
-    manifest file (Spark ignores ``_``-prefixed files). No-op if the
-    table already has snapshots."""
+    references the existing files WITHOUT rewriting them. No-op if the
+    table already has snapshots.
+
+    The adopted files are exposed through a ``data-00001-adopt``
+    directory of symlinks rather than as ``dirs=['.']``: later appends
+    nest new ``data-NNNNN`` dirs inside the table root, and a reader
+    resolving ``'.'`` would then depend on Spark never recursing into
+    subdirectories — an implicit invariant that breaks under
+    ``recursiveFileLookup`` or file-index changes. Symlinking makes
+    every snapshot's dir list explicit and disjoint."""
     meta = _load(table_dir)
     if meta["current"] is not None:
         return meta["current"]
+    adopt_dir = "data-00001-adopt"
+    adopt_path = os.path.join(table_dir, adopt_dir)
+    os.makedirs(adopt_path, exist_ok=True)
+    for name in sorted(os.listdir(table_dir)):
+        if name.startswith("_") or name == adopt_dir or name.startswith("data-"):
+            continue
+        link = os.path.join(adopt_path, name)
+        if not os.path.lexists(link):
+            os.symlink(os.path.join("..", name), link)
     meta["snapshots"].append({
-        "id": 1, "ts": time.time(), "mode": "adopt", "dirs": ["."],
+        "id": 1, "ts": time.time(), "mode": "adopt", "dirs": [adopt_dir],
         "properties": dict(properties or {}),
     })
     meta["current"] = 1
@@ -112,6 +128,30 @@ def adopt_parquet_dir(table_dir: str, properties: dict | None = None) -> int:
 
 def snapshot_ids(table_dir: str) -> list[int]:
     return [s["id"] for s in _load(table_dir)["snapshots"]]
+
+
+def current_chain(table_dir: str) -> list[dict]:
+    """Snapshot records reachable from the CURRENT snapshot, oldest
+    first: the current snapshot plus its append ancestors back to (and
+    including) the overwrite/adopt that started the live lineage.
+    Snapshots superseded by a later overwrite are excluded — they are
+    time-travel-only history, not part of the current table state.
+    Checkpoint resume must consult only this chain (a bucket committed
+    by a run whose output was later overwritten is NOT done for the
+    current table)."""
+    meta = _load(table_dir)
+    if meta["current"] is None:
+        return []
+    by_id = {s["id"]: s for s in meta["snapshots"]}
+    chain: list[dict] = []
+    sid = meta["current"]
+    while sid in by_id:
+        snap = by_id[sid]
+        chain.append(snap)
+        if snap.get("mode") != "append":
+            break  # overwrite/adopt starts the chain
+        sid -= 1  # ids are sequential; an append's parent is id-1
+    return list(reversed(chain))
 
 
 def snapshot_meta(table_dir: str, snap_id: int) -> dict:
