@@ -1,0 +1,301 @@
+"""Read-side GeoTIFF ingestion parity (VERDICT round-4 #6): the reader
+must accept the strip/tile layouts GDAL emits (reference
+raster.py:60-98 reads rasters via gdal.Open), not only this module's
+own writer output.
+
+The fixture writer below builds GDAL-creation-option layouts
+(TILED=YES, COMPRESS=DEFLATE, PREDICTOR=3, chunky PlanarConfig)
+independently from the engine reader, straight from the TIFF 6.0 spec.
+"""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from vyperdatum_spark.engine import geotiff, raster
+
+
+def _fp_predict(row_f32: np.ndarray) -> bytes:
+    """TIFF floating-point predictor encode for one row: split into
+    MSB-first byte planes, then horizontal byte differencing."""
+    be = row_f32.astype(">f4").tobytes()
+    n = len(row_f32)
+    planes = np.frombuffer(be, dtype=np.uint8).reshape(n, 4).T  # (4, n)
+    buf = np.ascontiguousarray(planes).reshape(-1).astype(np.int16)
+    diff = np.empty_like(buf)
+    diff[0] = buf[0]
+    diff[1:] = (buf[1:] - buf[:-1]) % 256
+    return diff.astype(np.uint8).tobytes()
+
+
+def _write_gdal_style(
+    path: str,
+    bands: list[tuple[str, np.ndarray]],
+    origin_x: float, origin_y: float, dx: float, dy: float,
+    nodata: float = -9999.0,
+    tiled: bool = False, tile: tuple[int, int] = (16, 16),
+    rows_per_strip: int | None = None,
+    compress: bool = False, predictor: int = 1,
+    planar: int = 1,
+) -> None:
+    """Minimal independent TIFF writer for GDAL-style layouts."""
+    h, w = bands[0][1].shape
+    n_bands = len(bands)
+    arrs = [
+        np.where(np.isnan(np.asarray(a, dtype=np.float32)),
+                 np.float32(nodata), np.asarray(a, dtype=np.float32))
+        for _n, a in bands
+    ]
+
+    def encode_rows(rows_f32: np.ndarray) -> bytes:
+        # rows_f32: (rows, samples) little-endian float32
+        if predictor == 3:
+            raw = b"".join(_fp_predict(r) for r in rows_f32)
+        else:
+            raw = rows_f32.astype("<f4").tobytes()
+        return zlib.compress(raw) if compress else raw
+
+    blocks: list[bytes] = []
+    if tiled:
+        tw, th = tile
+        across = (w + tw - 1) // tw
+        down = (h + th - 1) // th
+        if planar == 1:
+            # chunky: one payload plane of interleaved samples
+            inter = np.stack(arrs, axis=-1)  # (h, w, n)
+            for ty in range(down):
+                for tx in range(across):
+                    t = np.full((th, tw, n_bands), np.float32(0), "<f4")
+                    ys = min(th, h - ty * th)
+                    xs = min(tw, w - tx * tw)
+                    t[:ys, :xs] = inter[ty * th:ty * th + ys,
+                                        tx * tw:tx * tw + xs]
+                    blocks.append(encode_rows(t.reshape(th, tw * n_bands)))
+        else:
+            for a in arrs:
+                for ty in range(down):
+                    for tx in range(across):
+                        t = np.zeros((th, tw), "<f4")
+                        ys = min(th, h - ty * th)
+                        xs = min(tw, w - tx * tw)
+                        t[:ys, :xs] = a[ty * th:ty * th + ys,
+                                        tx * tw:tx * tw + xs]
+                        blocks.append(encode_rows(t))
+    else:
+        rps = rows_per_strip or h
+        n_strips = (h + rps - 1) // rps
+        if planar == 1:
+            inter = np.stack(arrs, axis=-1).reshape(h, w * n_bands)
+            for s in range(n_strips):
+                blocks.append(encode_rows(inter[s * rps:min((s + 1) * rps, h)]))
+        else:
+            for a in arrs:
+                for s in range(n_strips):
+                    blocks.append(encode_rows(a[s * rps:min((s + 1) * rps, h)]))
+
+    # ---- assemble the file ----
+    payload = b""
+    offsets, counts = [], []
+    base = 8
+    for blk in blocks:
+        if len(payload) % 2:
+            payload += b"\x00"
+        offsets.append(base + len(payload))
+        counts.append(len(blk))
+        payload += blk
+
+    extra = b""
+    extra_base = base + len(payload) + (len(payload) % 2)
+
+    def out_of_line(raw: bytes) -> int:
+        nonlocal extra
+        if len(extra) % 2:
+            extra += b"\x00"
+        off = extra_base + len(extra)
+        extra += raw
+        return off
+
+    entries = []
+
+    def entry(tag, typ, values):
+        fmt = {3: "<H", 4: "<I", 12: "<d"}[typ]
+        raw = (values if isinstance(values, bytes)
+               else b"".join(struct.pack(fmt, v) for v in values))
+        count = (len(values) if isinstance(values, bytes) else len(values))
+        if typ == 2:
+            count = len(raw)
+        if len(raw) <= 4:
+            entries.append(
+                struct.pack("<HHI", tag, typ, count) + raw + b"\x00" * (4 - len(raw))
+            )
+        else:
+            entries.append(
+                struct.pack("<HHII", tag, typ, count, out_of_line(raw))
+            )
+
+    meta_xml = ("<GDALMetadata>\n" + "".join(
+        f'  <Item name="DESCRIPTION" sample="{i}" role="description">'
+        f"{name}</Item>\n" for i, (name, _a) in enumerate(bands)
+    ) + "</GDALMetadata>\n\x00").encode()
+    nodata_ascii = f"{nodata:g}\x00".encode()
+
+    entry(256, 4, [w])
+    entry(257, 4, [h])
+    entry(258, 3, [32] * n_bands)
+    entry(259, 3, [8 if compress else 1])
+    entry(262, 3, [1])
+    if not tiled:
+        entry(273, 4, offsets)
+    entry(277, 3, [n_bands])
+    if not tiled:
+        entry(278, 4, [rows_per_strip or h])
+        entry(279, 4, counts)
+    entry(284, 3, [planar])
+    if predictor != 1:
+        entry(317, 3, [predictor])
+    if tiled:
+        entry(322, 4, [tile[0]])
+        entry(323, 4, [tile[1]])
+        entry(324, 4, offsets)
+        entry(325, 4, counts)
+    entry(339, 3, [3] * n_bands)
+    entry(33550, 12, [dx, abs(dy), 0.0])
+    entry(33922, 12, [0.0, 0.0, 0.0, origin_x, origin_y, 0.0])
+
+    # ascii tags via raw path
+    def ascii_entry(tag, raw):
+        if len(raw) <= 4:
+            entries.append(
+                struct.pack("<HHI", tag, 2, len(raw)) + raw + b"\x00" * (4 - len(raw))
+            )
+        else:
+            entries.append(struct.pack("<HHII", tag, 2, len(raw), out_of_line(raw)))
+
+    ascii_entry(42112, meta_xml)
+    ascii_entry(42113, nodata_ascii)
+
+    entries.sort(key=lambda e: struct.unpack("<H", e[:2])[0])
+    ifd_off = extra_base + len(extra) + (len(extra) % 2)
+    with open(path, "wb") as f:
+        f.write(b"II" + struct.pack("<H", 42) + struct.pack("<I", ifd_off))
+        f.write(payload)
+        if len(payload) % 2:
+            f.write(b"\x00")
+        f.write(extra)
+        if len(extra) % 2:
+            f.write(b"\x00")
+        f.write(struct.pack("<H", len(entries)) + b"".join(entries)
+                + struct.pack("<I", 0))
+
+
+def _fixture_bands(h=37, w=53):
+    rng = np.random.default_rng(11)
+    z = rng.normal(scale=3.0, size=(h, w)).astype(np.float32)
+    u = rng.random((h, w)).astype(np.float32)
+    z[3, 5] = np.nan
+    z[-1, -1] = np.nan
+    return [("z_out", z), ("unc", u)]
+
+
+def _expected(bands, nodata=-9999.0):
+    return {
+        n: np.where(np.isnan(a.astype(np.float32)), np.float32(nodata),
+                    a.astype(np.float32))
+        for n, a in bands
+    }
+
+
+@pytest.mark.parametrize("layout", [
+    dict(tiled=True, tile=(16, 16), compress=True, predictor=3, planar=1),
+    dict(tiled=True, tile=(32, 8), compress=False, predictor=1, planar=2),
+    dict(rows_per_strip=5, compress=True, predictor=3, planar=1),
+    dict(rows_per_strip=8, compress=True, predictor=1, planar=2),
+    dict(rows_per_strip=37, compress=False, predictor=1, planar=1),
+])
+def test_gdal_layout_variants_roundtrip(tmp_path, layout):
+    bands = _fixture_bands()
+    p = str(tmp_path / "t.tif")
+    _write_gdal_style(p, bands, -77.5, 34.8, 0.01, -0.01, **layout)
+    got, meta = geotiff.read_geotiff(p)
+    exp = _expected(bands)
+    assert meta["width"] == 53 and meta["height"] == 37
+    assert meta["nodata"] == -9999.0
+    assert (meta["origin_x"], meta["origin_y"]) == (-77.5, 34.8)
+    for name, arr in exp.items():
+        assert np.array_equal(got[name], arr), name
+
+
+def test_unsupported_layouts_fail_clearly(tmp_path):
+    bands = _fixture_bands(8, 8)
+    p = str(tmp_path / "t.tif")
+    _write_gdal_style(p, bands, 0.0, 0.0, 1.0, -1.0)
+    data = open(p, "rb").read()
+
+    big = data[:2] + struct.pack("<H", 43) + data[4:]
+    bp = str(tmp_path / "big.tif")
+    open(bp, "wb").write(big)
+    with pytest.raises(ValueError, match="BigTIFF"):
+        geotiff.read_geotiff(bp)
+
+    mm = b"MM" + data[2:]
+    mp = str(tmp_path / "mm.tif")
+    open(mp, "wb").write(mm)
+    with pytest.raises(ValueError, match="big-endian"):
+        geotiff.read_geotiff(mp)
+
+    # LZW compression id (5) in the COMPRESSION tag
+    lzw = bytearray(data)
+    ifd_off = struct.unpack("<I", data[4:8])[0]
+    n = struct.unpack("<H", data[ifd_off:ifd_off + 2])[0]
+    for i in range(n):
+        off = ifd_off + 2 + 12 * i
+        if struct.unpack("<H", data[off:off + 2])[0] == 259:
+            lzw[off + 8:off + 10] = struct.pack("<H", 5)
+    lp = str(tmp_path / "lzw.tif")
+    open(lp, "wb").write(bytes(lzw))
+    with pytest.raises(ValueError, match="LZW"):
+        geotiff.read_geotiff(lp)
+
+
+def test_tiled_tiff_through_raster_to_points(spark, tmp_path):
+    """S5 on a GDAL-layout raster: tiled+DEFLATE+PREDICTOR=3 file →
+    read_geotiff → raster_to_points → full raster transform, identical
+    to feeding the raw array directly (the oracle-gated
+    geo_raster_transform plan)."""
+    h, w = 25, 40
+    rng = np.random.default_rng(5)
+    z = (rng.integers(0, 400, size=(h, w)).astype(np.float32) * 0.01 + 2.0)
+    z[(np.arange(h)[:, None] * 7 + np.arange(w)[None, :] * 13) % 37 == 0] = np.nan
+    p = str(tmp_path / "s.tif")
+    _write_gdal_style(
+        p, [("Elevation", z)], -77.5, 34.8, 0.01, -0.01,
+        tiled=True, tile=(16, 16), compress=True, predictor=3,
+    )
+    bands, meta = geotiff.read_geotiff(p)
+    elev = bands["Elevation"]
+    pts_tif = raster.raster_to_points(
+        spark, meta["origin_x"], meta["origin_y"], meta["dx"], meta["dy"],
+        meta["width"], meta["height"], elev.astype(np.float64),
+        nodata=meta["nodata"],
+    )
+    direct = np.where(np.isnan(z), meta["nodata"], z).astype(np.float32)
+    pts_raw = raster.raster_to_points(
+        spark, -77.5, 34.8, 0.01, -0.01, w, h,
+        direct.astype(np.float64), nodata=-9999.0,
+    )
+    a = raster.transform_raster_points(
+        spark, pts_tif, "mllw", "navd88", input_is_height=False,
+        allow_points_outside_coverage=True,
+    ).toPandas().set_index("cell_id").sort_index()
+    b = raster.transform_raster_points(
+        spark, pts_raw, "mllw", "navd88", input_is_height=False,
+        allow_points_outside_coverage=True,
+    ).toPandas().set_index("cell_id").sort_index()
+    assert len(a) == h * w
+    assert a.region_id.fillna("-").equals(b.region_id.fillna("-"))
+    assert np.array_equal(
+        np.nan_to_num(a.z_out.to_numpy(dtype=float), nan=-9e9),
+        np.nan_to_num(b.z_out.to_numpy(dtype=float), nan=-9e9),
+    )

@@ -38,6 +38,11 @@ SAMPLES_PER_PIXEL = 277
 ROWS_PER_STRIP = 278
 STRIP_BYTE_COUNTS = 279
 PLANAR_CONFIG = 284
+PREDICTOR = 317
+TILE_WIDTH = 322
+TILE_LENGTH = 323
+TILE_OFFSETS = 324
+TILE_BYTE_COUNTS = 325
 SAMPLE_FORMAT = 339
 MODEL_PIXEL_SCALE = 33550
 MODEL_TIEPOINT = 33922
@@ -168,14 +173,79 @@ def write_geotiff(
         f.write(ifd)
 
 
+def _undo_fp_predictor(raw: bytes, rows: int, row_samples: int) -> bytes:
+    """Reverse the TIFF floating-point horizontal predictor (tag 317
+    value 3, GDAL PREDICTOR=3): per row, the 4 byte-planes of the
+    Float32 samples are stored MSB-plane-first and byte-differenced
+    horizontally. Decode = cumulative byte sum per row (mod 256), then
+    reassemble each sample from its 4 plane bytes big-endian."""
+    row_bytes = row_samples * 4
+    buf = np.frombuffer(raw, dtype=np.uint8).reshape(rows, row_bytes)
+    buf = np.add.accumulate(buf, axis=1, dtype=np.uint8)  # wraps mod 256
+    planes = buf.reshape(rows, 4, row_samples)
+    msb_first = np.ascontiguousarray(planes.transpose(0, 2, 1))
+    return (
+        np.frombuffer(msb_first.tobytes(), dtype=">f4")
+        .astype("<f4")
+        .tobytes()
+    )
+
+
+def _decode_block(raw: bytes, rows: int, row_samples: int,
+                  compression: int, predictor: int) -> np.ndarray:
+    """One strip/tile payload → (rows, row_samples) float32."""
+    if compression in (8, 32946):  # Deflate / AdobeDeflate
+        import zlib
+
+        raw = zlib.decompress(raw)
+    elif compression != 1:
+        raise ValueError(
+            f"TIFF compression {compression} not supported "
+            "(supported: 1=none, 8/32946=DEFLATE; LZW is not)"
+        )
+    expected = rows * row_samples * 4
+    if len(raw) != expected:
+        raise ValueError(
+            f"block size {len(raw)} != expected {expected} "
+            f"({rows} rows × {row_samples} samples × 4B)"
+        )
+    if predictor == 3:
+        raw = _undo_fp_predictor(raw, rows, row_samples)
+    elif predictor != 1:
+        raise ValueError(
+            f"TIFF predictor {predictor} not supported for Float32 "
+            "(supported: 1=none, 3=floating-point)"
+        )
+    return np.frombuffer(raw, dtype="<f4").reshape(rows, row_samples)
+
+
 def read_geotiff(path: str):
-    """Parse the baseline layout back: ({band_name: (h, w) float32
-    array}, meta dict). Independent of the writer's in-memory state —
-    walks the IFD per the TIFF spec."""
+    """Parse a Float32 GeoTIFF: ({band_name: (h, w) float32 array},
+    meta dict). Independent of the writer's in-memory state — walks
+    the IFD per the TIFF spec.
+
+    Accepts the layouts GDAL emits for separation/sounding rasters
+    (reference raster.py:60-98 reads via gdal.Open):
+    - stripped (any RowsPerStrip) or tiled (TileWidth/TileLength,
+      edge tiles padded per spec) payloads;
+    - PlanarConfiguration 1 (chunky, GDAL default) and 2 (separate
+      planes, this module's writer);
+    - Compression 1 (none) and 8/32946 (DEFLATE), with Predictor 1 or
+      3 (the floating-point predictor, GDAL's PREDICTOR=3);
+    - clear errors for BigTIFF (magic 43), big-endian byte order, LZW,
+      and non-Float32 samples rather than silent misreads.
+    """
     with open(path, "rb") as f:
         data = f.read()
-    if data[:2] != b"II" or struct.unpack("<H", data[2:4])[0] != 42:
-        raise ValueError("not a little-endian classic TIFF")
+    if data[:2] == b"MM":
+        raise ValueError("big-endian (MM) TIFFs are not supported")
+    if data[:2] != b"II":
+        raise ValueError("not a TIFF (bad byte-order mark)")
+    magic = struct.unpack("<H", data[2:4])[0]
+    if magic == 43:
+        raise ValueError("BigTIFF (magic 43) is not supported")
+    if magic != 42:
+        raise ValueError(f"not a TIFF (magic {magic})")
     (ifd_off,) = struct.unpack("<I", data[4:8])
     (n_entries,) = struct.unpack("<H", data[ifd_off:ifd_off + 2])
     tags: dict[int, tuple] = {}
@@ -196,9 +266,68 @@ def read_geotiff(path: str):
         tags[tag] = vals
     w = tags[IMAGE_WIDTH][0]
     h = tags[IMAGE_LENGTH][0]
-    n_bands = tags[SAMPLES_PER_PIXEL][0]
-    offsets = tags[STRIP_OFFSETS]
-    counts = tags[STRIP_BYTE_COUNTS]
+    n_bands = tags.get(SAMPLES_PER_PIXEL, [1])[0]
+    planar = tags.get(PLANAR_CONFIG, [1])[0]
+    compression = tags.get(COMPRESSION, [1])[0]
+    predictor = tags.get(PREDICTOR, [1])[0]
+    if (set(tags.get(BITS_PER_SAMPLE, [32])) != {32}
+            or set(tags.get(SAMPLE_FORMAT, [3])) != {3}):
+        raise ValueError(
+            "only Float32 samples supported (BitsPerSample=32, "
+            f"SampleFormat=3); got bits={tags.get(BITS_PER_SAMPLE)} "
+            f"format={tags.get(SAMPLE_FORMAT)}"
+        )
+
+    # assemble planes: (n_bands, h, w)
+    planes = np.empty((n_bands, h, w), dtype="<f4")
+    if TILE_OFFSETS in tags:
+        tw = tags[TILE_WIDTH][0]
+        th = tags[TILE_LENGTH][0]
+        offsets = tags[TILE_OFFSETS]
+        counts = tags[TILE_BYTE_COUNTS]
+        across = (w + tw - 1) // tw
+        down = (h + th - 1) // th
+        per_plane = across * down
+        n_payload_planes = n_bands if planar == 2 else 1
+        samples = tw if planar == 2 else tw * n_bands
+        for p in range(n_payload_planes):
+            for ty in range(down):
+                for txi in range(across):
+                    idx = p * per_plane + ty * across + txi
+                    raw = data[offsets[idx]:offsets[idx] + counts[idx]]
+                    block = _decode_block(raw, th, samples,
+                                          compression, predictor)
+                    y0, x0 = ty * th, txi * tw
+                    ys, xs = min(th, h - y0), min(tw, w - x0)
+                    if planar == 2:
+                        planes[p, y0:y0 + ys, x0:x0 + xs] = block[:ys, :xs]
+                    else:
+                        chunk = block.reshape(th, tw, n_bands)
+                        for b in range(n_bands):
+                            planes[b, y0:y0 + ys, x0:x0 + xs] = \
+                                chunk[:ys, :xs, b]
+    else:
+        offsets = tags[STRIP_OFFSETS]
+        counts = tags[STRIP_BYTE_COUNTS]
+        rps = tags.get(ROWS_PER_STRIP, [h])[0]
+        strips_per_plane = (h + rps - 1) // rps
+        n_payload_planes = n_bands if planar == 2 else 1
+        samples = w if planar == 2 else w * n_bands
+        for p in range(n_payload_planes):
+            for s in range(strips_per_plane):
+                idx = p * strips_per_plane + s
+                y0 = s * rps
+                rows = min(rps, h - y0)
+                raw = data[offsets[idx]:offsets[idx] + counts[idx]]
+                block = _decode_block(raw, rows, samples,
+                                      compression, predictor)
+                if planar == 2:
+                    planes[p, y0:y0 + rows] = block
+                else:
+                    chunk = block.reshape(rows, w, n_bands)
+                    for b in range(n_bands):
+                        planes[b, y0:y0 + rows] = chunk[:, :, b]
+
     names = []
     meta_xml = tags.get(GDAL_METADATA, "")
     for i in range(n_bands):
@@ -208,10 +337,7 @@ def read_geotiff(path: str):
             names.append(frag.split("<", 1)[0])
         else:
             names.append(f"band_{i + 1}")
-    bands = {}
-    for i in range(n_bands):
-        raw = data[offsets[i]:offsets[i] + counts[i]]
-        bands[names[i]] = np.frombuffer(raw, dtype="<f4").reshape(h, w).copy()
+    bands = {names[i]: planes[i].copy() for i in range(n_bands)}
     scale = tags[MODEL_PIXEL_SCALE]
     tie = tags[MODEL_TIEPOINT]
     meta = {
@@ -222,10 +348,13 @@ def read_geotiff(path: str):
         "origin_x": tie[3],
         "origin_y": tie[4],
         "nodata": float(tags[GDAL_NODATA]) if GDAL_NODATA in tags else None,
-        "planar_config": tags[PLANAR_CONFIG][0],
-        "sample_format": tags[SAMPLE_FORMAT],
-        "bits_per_sample": tags[BITS_PER_SAMPLE],
+        "planar_config": planar,
+        "sample_format": tags.get(SAMPLE_FORMAT, [3]),
+        "bits_per_sample": tags.get(BITS_PER_SAMPLE, [32]),
         "geo_model_type": tags.get(GEO_KEY_DIRECTORY, [0] * 8)[7],
+        "compression": compression,
+        "predictor": predictor,
+        "tiled": TILE_OFFSETS in tags,
     }
     return bands, meta
 
