@@ -532,6 +532,19 @@ def q_geo_knn_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("pid", "region_id", "z_out")
 
 
+def q_geo_knn_edge_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same J8 query through the BROADCAST strategy (fused mapInArrow
+    numpy kernel). Extended-registry + bench twin of geo_knn_edge so
+    SQL-vs-kernel cost stays visible per round (VERDICT round-4 #7);
+    shares knn_edge_oracle_sql."""
+    pts = _knn_points(spark, sf_dir)
+    out = tx.transform_points(
+        spark, pts, "ellipse", "mllw", key_col="pid",
+        grid_defs=_knn_grid_defs(), knn_fallback=True, strategy="broadcast",
+    )
+    return out.select("pid", "region_id", "z_out")
+
+
 def knn_edge_oracle_sql() -> str:
     gd = _KNN_GD
     region = catalog.REGION_BY_ID["RGNAcoast01_8301"]
@@ -899,6 +912,7 @@ def queries() -> dict:
         "geo_transform_mllw_to_mhw": q_geo_transform_mllw_to_mhw,
         "geo_transform_from_depth": q_geo_transform_from_depth,
         "geo_knn_edge": q_geo_knn_edge,
+        "geo_knn_edge_kernel": q_geo_knn_edge_kernel,
         "geo_raster_transform": q_geo_raster_transform,
         "geo_geotiff_roundtrip": q_geo_geotiff_roundtrip,
         "geo_csv_roundtrip": q_geo_csv_roundtrip,
@@ -975,6 +989,7 @@ def oracle_sql() -> dict:
         "geo_transform_mllw_to_mhw": transform_oracle_sql("mllw", "mhw"),
         "geo_transform_from_depth": transform_oracle_sql("noaa chart datum", "navd88"),
         "geo_knn_edge": knn_edge_oracle_sql(),
+        "geo_knn_edge_kernel": knn_edge_oracle_sql(),
         "geo_raster_transform": raster_oracle_sql(),
         "geo_geotiff_roundtrip": geotiff_roundtrip_oracle_sql(),
         "geo_csv_roundtrip": csv_roundtrip_oracle_sql(),
