@@ -453,6 +453,7 @@ def transform_points(
     input_crs: str = "nad83s",
     output_frame: str | None = None,
     grid_defs: list | None = None,
+    grid_cache_token: str | None = None,
 ) -> DataFrame:
     """Transform ``points[z_col]`` from ``from_datum`` to ``to_datum``.
 
@@ -602,7 +603,7 @@ def transform_points(
         enriched = transform_sql.transform_points_sql(
             spark, base.drop("cell5"), from_datum, to_datum, x_col, y_col,
             grid_defs=grid_defs, knn_fallback=knn_fallback,
-            precedence=precedence,
+            precedence=precedence, grid_cache_token=grid_cache_token,
         )
         return _emit(_finalize(
             enriched, None, spark, from_datum, to_datum, z, flips,

@@ -125,8 +125,70 @@ def q_stream_first_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic URL per document, exercising every
+    canonicalization rule on rotating subsets: scheme/host case,
+    default :443 port, trailing slash, leading utm_* param, fragment.
+    The case-varied '/Docs/' path proves case-folding stays off the
+    path."""
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 4 == 0, F.lit("HTTPS://WWW.")).otherwise(F.lit("https://www.")),
+        F.col("source"),
+        F.when(d % 4 == 0, F.lit(".EXAMPLE.com")).otherwise(F.lit(".example.com")),
+        F.when(d % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Docs/"), (d % 50).cast("string"),
+        F.when(d % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 2 == 0,
+               F.concat(F.lit("?utm_source=feed&ref="), (d % 9).cast("string"))
+               ).otherwise(F.lit("")),
+        F.when(d % 6 == 0, F.lit("#sec2")).otherwise(F.lit("")),
+    )
+    return _docs(spark, sf_dir).select(d.alias("doc_id"), url.alias("url"))
+
+
+_DOC_URLS_SQL = (
+    "SELECT doc_id, "
+    "(CASE WHEN doc_id % 4 = 0 THEN 'HTTPS://WWW.' ELSE 'https://www.' END)"
+    " || source || "
+    "(CASE WHEN doc_id % 4 = 0 THEN '.EXAMPLE.com' ELSE '.example.com' END)"
+    " || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)"
+    " || '/Docs/' || CAST(doc_id % 50 AS VARCHAR)"
+    " || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)"
+    " || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&ref=' ||"
+    " CAST(doc_id % 9 AS VARCHAR) ELSE '' END)"
+    " || (CASE WHEN doc_id % 6 = 0 THEN '#sec2' ELSE '' END) AS url "
+    "FROM documents"
+)
+
+
+def url_dedup_oracle_sql() -> str:
+    """DuckDB twin of ops.urls.url_dedup over the synthetic URLs —
+    the same regex sequence ('g' flag where Spark replaces all)."""
+    auth_re = "^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)"
+    return (
+        f"WITH u AS ({_DOC_URLS_SQL}), "
+        "c0 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM u), "
+        "c1 AS (SELECT doc_id, regexp_replace(regexp_replace(u, "
+        "'\\?utm_[^&#]*&', '?', 'g'), '[?&]utm_[^&#]*', '', 'g') AS u FROM c0), "
+        f"c2 AS (SELECT doc_id, u, regexp_extract(u, '{auth_re}', 1) AS auth "
+        "FROM c1), "
+        "c3 AS (SELECT doc_id, "
+        "regexp_replace(regexp_replace(lower(auth), '^(https://.*):443$', "
+        "'\\1'), '^(http://.*):80$', '\\1') || "
+        "regexp_replace(substr(u, length(auth) + 1), '(.+)/$', '\\1') "
+        "AS canonical_url FROM c2) "
+        "SELECT canonical_url, MIN(doc_id) AS keeper_id, "
+        "COUNT(*) AS n_members FROM c3 GROUP BY canonical_url "
+        "HAVING COUNT(*) > 1"
+    )
+
+
 def queries() -> dict:
+    from ..ops import urls
+
     return {
+        "url_canonical_dedup": lambda s, d: urls.url_dedup(_doc_urls(s, d)),
         "dedup_exact": lambda s, d: dedup.exact_duplicates(_docs_with_dups(s, d)),
         "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
         "dedup_simhash": lambda s, d: dedup.simhash_groups(_docs(s, d)),
@@ -172,6 +234,7 @@ def queries() -> dict:
 
 def oracle_sql() -> dict:
     return {
+        "url_canonical_dedup": url_dedup_oracle_sql(),
         "dedup_exact": dedup.exact_duplicates_sql(table=DUPS_SQL),
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs_sql(),
         "dedup_simhash": dedup.simhash_groups_sql(),
