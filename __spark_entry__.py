@@ -34,11 +34,22 @@ from vyperdatum_spark.queries import geo
 # The 50 driver-exposed queries, in the order the driver records them.
 # Marquee/composition queries first; one representative per operator
 # class after that.  Extended-only (still implemented, still locally
-# oracle-gated, just not driver-exposed): geo_transform_tss,
-# geo_transform_mhw (same plan class as the four exposed transform
-# variants), rel_events_hourly (same aggregation as
-# stream_events_hourly's batch twin), rel_custs_without_orders
-# (anti-join semantics also exercised by decontaminate).
+# oracle-gated, just not driver-exposed — evidence in COVERAGE.md):
+#   geo_transform_tss / geo_transform_mhw / geo_transform_navd88 —
+#     same plan class as the exposed transform variants;
+#   geo_chart_datum_flip — F4 flip also driver-evidenced by
+#     geo_transform_from_depth;
+#   ann_lsh_topk — strict subset of ann_lsh_multi_topk;
+#   dedup_ngram_jaccard — the all-pairs opt-in recall reference;
+#     dedup_lsh_verified is the exposed production path;
+#   geo_knn_edge_kernel — bench twin of the exposed geo_knn_edge;
+#   rel_events_hourly / rel_custs_without_orders /
+#   rel_top_orders_per_cust / rel_nation_revenue — relational shapes
+#     subsumed by rel_pricing_summary + stream_events_hourly +
+#     decontaminate (anti-join).
+# Rotated IN for round 4 (the new Common-Crawl curation surface):
+#   url_canonical_dedup, url_latest_capture, html_extract_text,
+#   line_dedup, pii_redact, text_repetition.
 EXPOSED = [
     # marquee compositions + streaming
     "pipeline_end_to_end",
@@ -46,13 +57,11 @@ EXPOSED = [
     "stream_first_per_source",
     # flagship transforms (J1-J3, W1, F1-F6)
     "geo_transform_mllw",
-    "geo_transform_navd88",
     "geo_transform_projected",
     "geo_transform_outframe",
     "geo_transform_inverse",
     "geo_transform_mllw_to_mhw",
     "geo_transform_from_depth",
-    "geo_chart_datum_flip",
     "geo_sampled_mllw",
     "geo_sampled_projected",
     "geo_outside_catzoc",
@@ -72,18 +81,23 @@ EXPOSED = [
     # sinks
     "geo_csv_roundtrip",
     "geo_parquet_sink_roundtrip",
+    # web-corpus curation (round-4 surface)
+    "url_canonical_dedup",
+    "url_latest_capture",
+    "html_extract_text",
+    "line_dedup",
+    "pii_redact",
+    "text_repetition",
     # dedup family
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_lsh_verified",
     "dedup_simhash",
     "dedup_simhash_hamming",
-    "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "decontaminate",
     # ANN family
     "ann_bruteforce_topk",
-    "ann_lsh_topk",
     "ann_lsh_multi_topk",
     "ann_ivf_topk",
     # text analysis / sampling / multimodal
@@ -96,8 +110,6 @@ EXPOSED = [
     "json_extract",
     # relational
     "rel_pricing_summary",
-    "rel_top_orders_per_cust",
-    "rel_nation_revenue",
 ]
 
 

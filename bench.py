@@ -51,6 +51,13 @@ HEADLINE = [
     "geo_knn_edge",
     "geo_knn_edge_kernel",
     "pipeline_end_to_end",
+    # round-4 web-corpus curation surface
+    "url_canonical_dedup",
+    "url_latest_capture",
+    "html_extract_text",
+    "line_dedup",
+    "pii_redact",
+    "text_repetition",
 ]
 
 BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "32000000"))

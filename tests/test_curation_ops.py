@@ -1,0 +1,163 @@
+"""Round-4 curation ops: HTML extraction, latest-capture, line dedup,
+PII redaction, repetition stats — golden unit tests (the sf-level
+oracle gate covers the corpus-scale behavior)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from vyperdatum_spark.ops import html, lines, pii, textstats, urls
+
+
+# ------------------------------------------------------------ html
+def _extract_one(spark, payload: str) -> str:
+    pdf = pd.DataFrame({"doc_id": [0], "html": [payload.encode("utf-8")]})
+    out = html.extract_text(spark.createDataFrame(pdf)).toPandas()
+    return out.loc[0, "text_out"]
+
+
+def test_html_tag_strip_and_ws_collapse(spark):
+    got = _extract_one(
+        spark, "<html>\n  <body><h1>a b</h1>\n\t<p>c</p> </body></html>"
+    )
+    assert got == "a b c"
+
+
+def test_html_script_style_comment_removed(spark):
+    payload = (
+        '<body><!-- <p>junk</p> --><SCRIPT a="1">if(a<b){x();}\n'
+        "more</SCRIPT>keep<style>.c{}</style>"
+        "<!--one--><b>two</b><!--three--></body>"
+    )
+    assert _extract_one(spark, payload) == "keeptwo"
+
+
+def test_html_entity_decode_order(spark):
+    # &amp; decoded LAST: '&amp;lt;' must become the literal '&lt;'
+    got = _extract_one(spark, "<p>a &amp;lt; b &lt; c &#101;nd &amp; x</p>")
+    assert got == "a &lt; b < c end & x"
+
+
+def test_html_byte_identity_contract(spark):
+    """The north-rule invariant: extracted text byte-identical to the
+    source text through the synthetic page builder, every rotation."""
+    from vyperdatum_spark.queries.webtext import _docs, _pages
+
+    sf = "/root/testdata/sf0.001"
+    src = _docs(spark, sf).select("doc_id", "text")
+    got = html.extract_text(_pages(spark, sf))
+    bad = (
+        got.join(src, "doc_id")
+        .filter(F.col("text_out") != F.col("text"))
+        .count()
+    )
+    assert bad == 0
+    assert got.count() == src.count()
+
+
+# -------------------------------------------------------- latest capture
+def test_latest_capture_picks_max_ts_then_id(spark):
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "warc_ts": [100, 300, 300, 50, 10],
+        "url": [
+            "https://a.example.com/p",
+            "HTTPS://A.EXAMPLE.com:443/p#f",   # same canonical
+            "https://a.example.com/p/",        # same canonical, ts tie
+            "https://a.example.com/p?utm_x=1", # same canonical
+            "https://b.example.com/q",         # singleton group
+        ],
+    })
+    got = (
+        urls.latest_capture(spark.createDataFrame(pdf))
+        .toPandas().set_index("canonical_url").sort_index()
+    )
+    assert len(got) == 2
+    a = got.loc["https://a.example.com/p"]
+    assert a["latest_id"] == 3          # ts tie 300 broken by larger id
+    assert a["latest_ts"] == 300
+    assert a["n_captures"] == 4
+    assert got.loc["https://b.example.com/q", "latest_id"] == 5
+
+
+# ------------------------------------------------------------ line dedup
+def test_remove_common_lines_threshold_and_order(spark):
+    bp = "all rights reserved"
+    rows = [
+        (0, f"alpha\n{bp}\nbeta"),
+        (1, f"{bp}\ngamma"),
+        (2, f"delta\n{bp}"),
+        (3, f"{bp}"),               # only boilerplate -> empty doc
+        (4, "epsilon\nzeta"),       # untouched
+        (5, f"twice\n{bp}\ntwice"), # in-doc dup counts ONE doc
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    got = (
+        lines.remove_common_lines(spark.createDataFrame(pdf), min_docs=3)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert got.loc[0, "clean_text"] == "alpha\nbeta"
+    assert got.loc[0, "n_lines_in"] == 3 and got.loc[0, "n_lines_kept"] == 2
+    assert got.loc[3, "clean_text"] == "" and got.loc[3, "n_lines_kept"] == 0
+    assert got.loc[4, "clean_text"] == "epsilon\nzeta"
+    # 'twice' occurs in ONE distinct doc -> kept, order preserved
+    assert got.loc[5, "clean_text"] == "twice\ntwice"
+
+
+def test_remove_common_lines_below_threshold_survives(spark):
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["shared\na", "shared\nb"],   # 2 docs < min_docs=3
+    })
+    got = (
+        lines.remove_common_lines(spark.createDataFrame(pdf), min_docs=3)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert got.loc[0, "clean_text"] == "shared\na"
+    assert got.loc[1, "clean_text"] == "shared\nb"
+
+
+# ------------------------------------------------------------------ pii
+def test_pii_redaction_goldens(spark):
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "mail me at a.b+c@sub.example.org today",
+            "host 192.168.0.1 and 10.0.0.255 up",
+            "call +1-555-0199 or +44-201-555-7777",
+            "user@203.0.113.9 mixed",   # e-mail wins over the IP inside
+        ],
+    })
+    got = (
+        pii.pii_redact(spark.createDataFrame(pdf))
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert got.loc[0, "clean_text"] == "mail me at [EMAIL] today"
+    assert (got.loc[0, ["n_email", "n_ip", "n_phone"]] == [1, 0, 0]).all()
+    assert got.loc[1, "clean_text"] == "host [IP] and [IP] up"
+    assert got.loc[1, "n_ip"] == 2
+    assert got.loc[2, "clean_text"] == "call [PHONE] or [PHONE]"
+    assert got.loc[2, "n_phone"] == 2
+    assert got.loc[3, "clean_text"] == "[EMAIL] mixed"
+    assert (got.loc[3, ["n_email", "n_ip"]] == [1, 0]).all()
+
+
+# ------------------------------------------------------------ repetition
+def test_repetition_stats_goldens(spark):
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": [
+            "spam " * 19 + "spam",                 # 20x one word
+            " ".join(f"w{i:02d}" for i in range(20)),  # all distinct
+        ],
+    })
+    got = (
+        textstats.repetition_df(spark.createDataFrame(pdf))
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert got.loc[0, "n_words"] == 20 and got.loc[0, "n_distinct_words"] == 1
+    assert got.loc[0, "dup_word_frac"] == 0.95
+    assert got.loc[0, "top_word_frac"] == 1.0
+    assert not got.loc[0, "gopher_keep"]           # dup frac over bound
+    assert got.loc[1, "dup_word_frac"] == 0.0
+    assert got.loc[1, "top_word_frac"] == 0.05
+    assert got.loc[1, "gopher_keep"]

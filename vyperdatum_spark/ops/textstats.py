@@ -129,6 +129,96 @@ def langid_sql(table: str = "documents", id_col: str = "doc_id",
     )
 
 
+# --------------------------------------------- repetition / gopher rules
+# Gopher-style repetition bounds (Rae et al. 2021, public): documents
+# dominated by repeated tokens are template/spam, not prose. Tuned to
+# the synthetic fixture corpus; the thresholds are parameters in the
+# production signature.
+GOPHER_MIN_WORDS = 10
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MAX_DUP_WORD_FRAC = 0.75
+GOPHER_WORD_LEN_RANGE = (2.0, 12.0)
+
+
+def repetition_df(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """(id, n_words, n_distinct_words, dup_word_frac, top_word_frac,
+    gopher_keep): repetition signals + the composite keep decision.
+    Pure column math — array_distinct / aggregate over the token
+    array, zero shuffle, codegen projection at any scale.
+
+    top_word_frac (share of the modal token) is computed as a fold
+    over the DISTINCT token list counting occurrences in the full
+    list — O(d·n) per doc on both engines, bounded by doc length."""
+    toks = _toks(F.col(text_col))
+    dtoks = F.array_distinct(toks)
+    n_words = F.size(toks)
+    n_distinct = F.size(dtoks)
+    dup_frac = F.round(
+        F.lit(1.0) - n_distinct.cast("double") / n_words.cast("double"), 6
+    )
+    top_cnt = F.aggregate(
+        dtoks,
+        F.lit(0),
+        lambda acc, w: F.greatest(
+            acc, F.size(F.filter(toks, lambda t: t == w))
+        ),
+    )
+    top_frac = F.round(top_cnt.cast("double") / n_words.cast("double"), 6)
+    n_chars = F.length(F.col(text_col))
+    avg_wl = (n_chars - (n_words - 1)).cast("double") / n_words.cast("double")
+    lo, hi = GOPHER_WORD_LEN_RANGE
+    keep = (
+        (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS)
+        & (dup_frac <= GOPHER_MAX_DUP_WORD_FRAC)
+        & (avg_wl >= lo) & (avg_wl <= hi)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        n_distinct.cast("long").alias("n_distinct_words"),
+        dup_frac.alias("dup_word_frac"),
+        top_frac.alias("top_word_frac"),
+        keep.alias("gopher_keep"),
+    )
+
+
+def repetition_sql(table: str = "documents", id_col: str = "doc_id",
+                   text_col: str = "text") -> str:
+    toks = f"string_split({text_col}, ' ')"
+    dtoks = f"list_distinct({toks})"
+    n_words = f"len({toks})"
+    n_distinct = f"len({dtoks})"
+    dup = (
+        f"ROUND(1.0 - CAST({n_distinct} AS DOUBLE) / "
+        f"CAST({n_words} AS DOUBLE), 6)"
+    )
+    top_cnt = (
+        f"list_aggregate(list_transform({dtoks}, "
+        f"w -> len(list_filter({toks}, t -> t = w))), 'max')"
+    )
+    top = f"ROUND(CAST({top_cnt} AS DOUBLE) / CAST({n_words} AS DOUBLE), 6)"
+    n_chars = f"length({text_col})"
+    avg_wl = (
+        f"(CAST({n_chars} - ({n_words} - 1) AS DOUBLE) / "
+        f"CAST({n_words} AS DOUBLE))"
+    )
+    lo, hi = GOPHER_WORD_LEN_RANGE
+    keep = (
+        f"({n_words} >= {GOPHER_MIN_WORDS} AND "
+        f"{n_words} <= {GOPHER_MAX_WORDS} AND "
+        f"{dup} <= {GOPHER_MAX_DUP_WORD_FRAC} AND "
+        f"{avg_wl} >= {lo} AND {avg_wl} <= {hi})"
+    )
+    return (
+        f"SELECT {id_col}, CAST({n_words} AS BIGINT) AS n_words, "
+        f"CAST({n_distinct} AS BIGINT) AS n_distinct_words, "
+        f"{dup} AS dup_word_frac, {top} AS top_word_frac, "
+        f"{keep} AS gopher_keep FROM {table}"
+    )
+
+
 # -------------------------------------------------------- token counts
 def token_counts_df(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:

@@ -46,17 +46,89 @@ def url_dedup(df: DataFrame, url_col: str = "url",
     )
 
 
+def latest_capture(df: DataFrame, url_col: str = "url",
+                   ts_col: str = "warc_ts", id_col: str = "doc_id") -> DataFrame:
+    """Latest capture per canonical URL — the Common-Crawl snapshot
+    dedup: a crawl re-fetches the same resource across snapshots and
+    downstream wants exactly one row per page, the freshest.
+
+    Shape at 100 TB: canonicalize (projection) + ONE hash shuffle on
+    the canonical key with a map-side-combining ``max(struct(ts, id))``
+    aggregate — deliberately NOT a window ``row_number`` (a window
+    sorts every group and carries all rows through the shuffle; the
+    struct-max agg combines partially before it). Ties on ts break to
+    the larger id, deterministically on both engines.
+
+    Returns (canonical_url, latest_id, latest_ts, n_captures)."""
+    canon = canonical_url_df(df, url_col, id_col, extra_cols=[ts_col])
+    best = F.max(F.struct(F.col(ts_col), F.col(id_col))).alias("_b")
+    return (
+        canon.groupBy("canonical_url")
+        .agg(best, F.count("*").alias("n_captures"))
+        .select(
+            "canonical_url",
+            F.col(f"_b.{id_col}").alias("latest_id"),
+            F.col(f"_b.{ts_col}").alias("latest_ts"),
+            "n_captures",
+        )
+    )
+
+
+def latest_capture_sql(inner_sql: str, url_col: str = "url",
+                       ts_col: str = "warc_ts",
+                       id_col: str = "doc_id") -> str:
+    """DuckDB twin of latest_capture over `inner_sql` — a subquery
+    yielding (id, ts, url). Window form (oracle clarity over the
+    map-combine shape the Spark plan uses)."""
+    canon = canonical_url_sql(inner_sql, url_col=url_col, id_col=id_col,
+                              extra_cols=[ts_col])
+    return (
+        f"WITH c AS ({canon}) "
+        f"SELECT canonical_url, {id_col} AS latest_id, "
+        f"{ts_col} AS latest_ts, n_captures FROM ("
+        f"SELECT *, COUNT(*) OVER (PARTITION BY canonical_url) AS n_captures, "
+        f"ROW_NUMBER() OVER (PARTITION BY canonical_url "
+        f"ORDER BY {ts_col} DESC, {id_col} DESC) AS rn FROM c) WHERE rn = 1"
+    )
+
+
+def canonical_url_sql(inner_sql: str, url_col: str = "url",
+                      id_col: str = "doc_id",
+                      extra_cols: list[str] | None = None) -> str:
+    """DuckDB twin of canonical_url_df: the same staged regex sequence
+    ('g' flag where Spark's regexp_replace replaces all occurrences).
+    Returns a SELECT yielding (id, *extra_cols, canonical_url)."""
+    extra = "".join(f"{c}, " for c in (extra_cols or []))
+    return (
+        f"WITH _u0 AS (SELECT {id_col}, {extra}"
+        f"regexp_replace({url_col}, '#.*$', '') AS u FROM ({inner_sql})), "
+        f"_u1 AS (SELECT {id_col}, {extra}"
+        "regexp_replace(regexp_replace(u, "
+        "'\\?utm_[^&#]*&', '?', 'g'), '[?&]utm_[^&#]*', '', 'g') AS u "
+        "FROM _u0), "
+        f"_u2 AS (SELECT {id_col}, {extra}u, "
+        f"regexp_extract(u, '{_AUTH_RE}', 1) AS auth FROM _u1) "
+        f"SELECT {id_col}, {extra}"
+        "regexp_replace(regexp_replace(lower(auth), '^(https://.*):443$', "
+        "'\\1'), '^(http://.*):80$', '\\1') || "
+        "regexp_replace(substr(u, length(auth) + 1), '(.+)/$', '\\1') "
+        "AS canonical_url FROM _u2"
+    )
+
+
 def canonical_url_df(df: DataFrame, url_col: str = "url",
-                     id_col: str = "doc_id") -> DataFrame:
-    """(id, canonical_url) projection — staged columns so each regexp
-    runs once per row."""
+                     id_col: str = "doc_id",
+                     extra_cols: list[str] | None = None) -> DataFrame:
+    """(id, *extra_cols, canonical_url) projection — staged columns so
+    each regexp runs once per row."""
+    extra = list(extra_cols or [])
     u0 = F.regexp_replace(F.col(url_col), r"#.*$", "")
-    d = df.select(F.col(id_col), u0.alias("_u"))
+    d = df.select(F.col(id_col), *extra, u0.alias("_u"))
     u = F.regexp_replace(F.col("_u"), r"\?utm_[^&#]*&", "?")
     u = F.regexp_replace(u, r"[?&]utm_[^&#]*", "")
-    d = d.select(id_col, u.alias("_u"))
+    d = d.select(id_col, *extra, u.alias("_u"))
     d = d.select(
-        id_col, "_u",
+        id_col, *extra, "_u",
         F.regexp_extract(F.col("_u"), _AUTH_RE, 1).alias("_auth"),
     )
     rest = F.expr("substring(_u, length(_auth) + 1)")
@@ -65,5 +137,5 @@ def canonical_url_df(df: DataFrame, url_col: str = "url",
     auth = F.regexp_replace(auth, r"^(http://.*):80$", "$1")
     rest = F.regexp_replace(rest, r"(.+)/$", "$1")
     return d.select(
-        F.col(id_col), F.concat(auth, rest).alias("canonical_url")
+        F.col(id_col), *extra, F.concat(auth, rest).alias("canonical_url")
     )

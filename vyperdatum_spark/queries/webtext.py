@@ -164,31 +164,170 @@ _DOC_URLS_SQL = (
 
 def url_dedup_oracle_sql() -> str:
     """DuckDB twin of ops.urls.url_dedup over the synthetic URLs —
-    the same regex sequence ('g' flag where Spark replaces all)."""
-    auth_re = "^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)"
+    canonicalization SQL shared with the op module (single source of
+    truth for the regex sequence)."""
+    from ..ops import urls
+
+    canon = urls.canonical_url_sql(_DOC_URLS_SQL)
     return (
-        f"WITH u AS ({_DOC_URLS_SQL}), "
-        "c0 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM u), "
-        "c1 AS (SELECT doc_id, regexp_replace(regexp_replace(u, "
-        "'\\?utm_[^&#]*&', '?', 'g'), '[?&]utm_[^&#]*', '', 'g') AS u FROM c0), "
-        f"c2 AS (SELECT doc_id, u, regexp_extract(u, '{auth_re}', 1) AS auth "
-        "FROM c1), "
-        "c3 AS (SELECT doc_id, "
-        "regexp_replace(regexp_replace(lower(auth), '^(https://.*):443$', "
-        "'\\1'), '^(http://.*):80$', '\\1') || "
-        "regexp_replace(substr(u, length(auth) + 1), '(.+)/$', '\\1') "
-        "AS canonical_url FROM c2) "
+        f"WITH c AS ({canon}) "
         "SELECT canonical_url, MIN(doc_id) AS keeper_id, "
-        "COUNT(*) AS n_members FROM c3 GROUP BY canonical_url "
+        "COUNT(*) AS n_members FROM c GROUP BY canonical_url "
         "HAVING COUNT(*) > 1"
     )
 
 
+# ------------------------------------------------------- round-4 fixtures
+def _doc_urls_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic (doc_id, warc_ts, url) captures: canonical URLs
+    collide across ~source×50 path groups so latest-capture has real
+    work; warc_ts is epoch seconds (long) with planted ties broken by
+    id."""
+    d = F.col("doc_id")
+    ts = (F.lit(1700000000) + (d % 89) * 3600 + (d % 13)).cast("long")
+    return _doc_urls(spark, sf_dir).select(
+        "doc_id", ts.alias("warc_ts"), "url"
+    )
+
+
+_DOC_URLS_TS_SQL = (
+    "SELECT doc_id, CAST(1700000000 + (doc_id % 89) * 3600 + (doc_id % 13)"
+    " AS BIGINT) AS warc_ts, url FROM (" + _DOC_URLS_SQL + ")"
+)
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic Common-Crawl-shaped pages: documents.text wrapped in
+    an html:binary payload exercising every extraction rule on
+    rotating subsets — uppercase SCRIPT tags, multi-line script
+    bodies, comments containing tag-like junk, numeric/named entity
+    encodings. Built so the extracted text is BYTE-IDENTICAL to the
+    original `text` (the north-rule per-row invariant)."""
+    d = F.col("doc_id")
+    enc = F.replace(F.col("text"), F.lit("e"), F.lit("&#101;"))
+    enc = F.when(d % 11 == 0,
+                 F.replace(enc, F.lit(" "), F.lit("&nbsp;"))).otherwise(enc)
+    script = F.when(
+        d % 3 == 0,
+        F.concat(F.lit('<SCRIPT type="text/javascript">var a=1;'),
+                 F.lit("</SCRIPT>")),
+    ).otherwise(
+        F.concat(F.lit("<script>if(a<b){"), F.lit("\n"),
+                 F.lit('f("x &amp; y");}</script>'))
+    )
+    comment = F.when(
+        d % 5 == 0,
+        F.concat(F.lit("<!--<p>junk "), d.cast("string"), F.lit("</p>-->")),
+    ).otherwise(F.concat(F.lit("<!-- c"), d.cast("string"), F.lit(" -->")))
+    html_str = F.concat(
+        F.lit("<!DOCTYPE html><html><head><title></title>"),
+        script,
+        F.lit("<style>.c{color:#fff}</style></head><body class=\"m\">"),
+        comment,
+        F.lit("<p>"), enc, F.lit("</p><br/></body></html>"),
+    )
+    return _docs(spark, sf_dir).select(
+        d.alias("doc_id"), F.encode(html_str, "UTF-8").alias("html")
+    )
+
+
+_PAGES_SQL = (
+    "SELECT doc_id, encode("
+    "'<!DOCTYPE html><html><head><title></title>'"
+    " || (CASE WHEN doc_id % 3 = 0 THEN"
+    " '<SCRIPT type=\"text/javascript\">var a=1;</SCRIPT>'"
+    " ELSE '<script>if(a<b){' || chr(10) || 'f(\"x &amp; y\");}</script>'"
+    " END)"
+    " || '<style>.c{color:#fff}</style></head><body class=\"m\">'"
+    " || (CASE WHEN doc_id % 5 = 0 THEN"
+    " '<!--<p>junk ' || CAST(doc_id AS VARCHAR) || '</p>-->'"
+    " ELSE '<!-- c' || CAST(doc_id AS VARCHAR) || ' -->' END)"
+    " || '<p>' || (CASE WHEN doc_id % 11 = 0 THEN"
+    " replace(replace(text, 'e', '&#101;'), ' ', '&nbsp;')"
+    " ELSE replace(text, 'e', '&#101;') END)"
+    " || '</p><br/></body></html>') AS html FROM documents"
+)
+
+
+def _ml_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-line documents: the content line plus rotating boilerplate
+    (two template lines far above the removal threshold) and a
+    long-tail 'promo code N' line (~2 docs each, below threshold, must
+    survive). concat_ws skips nulls identically on both engines."""
+    d = F.col("doc_id")
+    bp1 = F.when(d % 2 == 0, F.lit("subscribe to our newsletter today"))
+    promo = F.when(d % 5 == 0,
+                   F.concat(F.lit("promo code "), (d % 997).cast("string")))
+    bp2 = F.when(d % 3 == 0, F.lit("all rights reserved"))
+    return _docs(spark, sf_dir).select(
+        d.alias("doc_id"),
+        F.concat_ws("\n", F.col("text"), bp1, promo, bp2).alias("text"),
+    )
+
+
+_ML_DOCS_SQL = (
+    "SELECT doc_id, concat_ws(chr(10), text, "
+    "CASE WHEN doc_id % 2 = 0 THEN 'subscribe to our newsletter today' END, "
+    "CASE WHEN doc_id % 5 = 0 THEN 'promo code ' || "
+    "CAST(doc_id % 997 AS VARCHAR) END, "
+    "CASE WHEN doc_id % 3 = 0 THEN 'all rights reserved' END) AS text "
+    "FROM documents"
+)
+
+
+def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text with synthetic PII appended on rotating subsets:
+    an e-mail, an IPv4, a phone number — each kind independently
+    present/absent so counts vary 0..3 per row."""
+    d = F.col("doc_id")
+    email = F.when(
+        d % 3 == 0,
+        F.concat(F.lit(" contact user"), (d % 50).cast("string"),
+                 F.lit("@mail"), (d % 7).cast("string"),
+                 F.lit(".example.com now")),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        d % 4 == 0,
+        F.concat(F.lit(" server "), (d % 256).cast("string"),
+                 F.lit(".0."), (d % 100).cast("string"), F.lit(".7 up")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        d % 6 == 0,
+        F.concat(F.lit(" call +1-555-"),
+                 F.lpad((d % 10000).cast("string"), 4, "0")),
+    ).otherwise(F.lit(""))
+    return _docs(spark, sf_dir).select(
+        d.alias("doc_id"),
+        F.concat(F.col("text"), email, ip, phone).alias("text"),
+    )
+
+
+_PII_DOCS_SQL = (
+    "SELECT doc_id, text || "
+    "(CASE WHEN doc_id % 3 = 0 THEN ' contact user' || "
+    "CAST(doc_id % 50 AS VARCHAR) || '@mail' || "
+    "CAST(doc_id % 7 AS VARCHAR) || '.example.com now' ELSE '' END) || "
+    "(CASE WHEN doc_id % 4 = 0 THEN ' server ' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.0.' || "
+    "CAST(doc_id % 100 AS VARCHAR) || '.7 up' ELSE '' END) || "
+    "(CASE WHEN doc_id % 6 = 0 THEN ' call +1-555-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END) AS text "
+    "FROM documents"
+)
+
+
 def queries() -> dict:
-    from ..ops import urls
+    from ..ops import html, lines, pii, urls
 
     return {
         "url_canonical_dedup": lambda s, d: urls.url_dedup(_doc_urls(s, d)),
+        "url_latest_capture": lambda s, d: urls.latest_capture(
+            _doc_urls_ts(s, d)
+        ),
+        "html_extract_text": lambda s, d: html.extract_text(_pages(s, d)),
+        "line_dedup": lambda s, d: lines.remove_common_lines(_ml_docs(s, d)),
+        "pii_redact": lambda s, d: pii.pii_redact(_pii_docs(s, d)),
+        "text_repetition": lambda s, d: textstats.repetition_df(_docs(s, d)),
         "dedup_exact": lambda s, d: dedup.exact_duplicates(_docs_with_dups(s, d)),
         "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
         "dedup_simhash": lambda s, d: dedup.simhash_groups(_docs(s, d)),
@@ -233,8 +372,15 @@ def queries() -> dict:
 
 
 def oracle_sql() -> dict:
+    from ..ops import html, lines, pii, urls
+
     return {
         "url_canonical_dedup": url_dedup_oracle_sql(),
+        "url_latest_capture": urls.latest_capture_sql(_DOC_URLS_TS_SQL),
+        "html_extract_text": html.extract_text_sql(f"({_PAGES_SQL})"),
+        "line_dedup": lines.remove_common_lines_sql(f"({_ML_DOCS_SQL})"),
+        "pii_redact": pii.pii_redact_sql(f"({_PII_DOCS_SQL})"),
+        "text_repetition": textstats.repetition_sql(),
         "dedup_exact": dedup.exact_duplicates_sql(table=DUPS_SQL),
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs_sql(),
         "dedup_simhash": dedup.simhash_groups_sql(),
