@@ -49,12 +49,18 @@ from vyperdatum_spark.queries import geo
 #     decontaminate (anti-join).
 # Rotated IN for round 4 (the new Common-Crawl curation surface):
 #   url_canonical_dedup, url_latest_capture, html_extract_text,
-#   line_dedup, pii_redact, text_repetition.
+#   line_dedup, pii_redact, text_repetition, and the two curation
+#   compositions curation_end_to_end + stream_curated_capture
+#   (making room: geo_parse_mentions — geoparse is driver-gated
+#   inside pipeline_end_to_end; dedup_simhash — same signature
+#   machinery as the exposed, stronger dedup_simhash_hamming).
 EXPOSED = [
     # marquee compositions + streaming
     "pipeline_end_to_end",
+    "curation_end_to_end",
     "stream_events_hourly",
     "stream_first_per_source",
+    "stream_curated_capture",
     # flagship transforms (J1-J3, W1, F1-F6)
     "geo_transform_mllw",
     "geo_transform_projected",
@@ -77,7 +83,6 @@ EXPOSED = [
     "geo_pipeline_plans",
     "geo_version_fingerprint",
     "geo_lineage_wkt",
-    "geo_parse_mentions",
     # sinks
     "geo_csv_roundtrip",
     "geo_parquet_sink_roundtrip",
@@ -92,7 +97,6 @@ EXPOSED = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_lsh_verified",
-    "dedup_simhash",
     "dedup_simhash_hamming",
     "dedup_embedding_cosine",
     "decontaminate",

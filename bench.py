@@ -58,6 +58,7 @@ HEADLINE = [
     "line_dedup",
     "pii_redact",
     "text_repetition",
+    "curation_end_to_end",
 ]
 
 BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "32000000"))

@@ -161,3 +161,83 @@ def test_repetition_stats_goldens(spark):
     assert got.loc[1, "dup_word_frac"] == 0.0
     assert got.loc[1, "top_word_frac"] == 0.05
     assert got.loc[1, "gopher_keep"]
+
+
+# ------------------------------------------------- compositions
+def test_curation_end_to_end_semantics(spark):
+    """Composition invariants at sf0.001: latest-capture dedup leaves
+    one row per canonical URL, redaction leaves no raw PII span, and
+    the Gopher filter bounds word counts."""
+    from vyperdatum_spark.ops.textstats import GOPHER_MIN_WORDS
+    from vyperdatum_spark.queries.webtext import q_curation_end_to_end
+
+    out = q_curation_end_to_end(spark, "/root/testdata/sf0.001")
+    out.cache()
+    assert out.count() > 0
+    dup_canon = (
+        out.groupBy("canonical_url").count().filter("count > 1").count()
+    )
+    assert dup_canon == 0
+    leaked = out.filter(
+        F.col("clean_text").contains("@mail")
+        | F.col("clean_text").rlike(r"\+1-555-\d{4}")
+    ).count()
+    assert leaked == 0
+    assert out.filter(F.col("n_words") < GOPHER_MIN_WORDS).count() == 0
+    # redaction evidence survives the filter chain on some rows
+    assert out.filter(F.col("n_pii") > 0).count() > 0
+    out.unpersist()
+
+
+def test_stream_first_capture_across_batches(spark, tmp_path):
+    """Keyed first-capture state survives micro-batches: a canonical
+    URL introduced in batch 1 must not re-emit in batch 2, even with
+    an earlier timestamp (first-wins is per STREAM, not per batch)."""
+    import os
+
+    import pandas as pd
+
+    from vyperdatum_spark.streaming import stateful
+
+    in_dir = str(tmp_path / "fc_in")
+    out_dir = str(tmp_path / "fc_out")
+    ck_dir = str(tmp_path / "fc_ck")
+    os.makedirs(in_dir)
+
+    def run():
+        rows = spark.readStream.schema(
+            "canonical_url string, warc_ts long, doc_id long, text_out string"
+        ).parquet(in_dir)
+        q = (
+            stateful.stream_first_capture(rows)
+            .writeStream.outputMode("append").format("parquet")
+            .option("path", out_dir).option("checkpointLocation", ck_dir)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out_dir).toPandas()
+
+    pd.DataFrame({
+        "canonical_url": ["a", "a", "b"],
+        "warc_ts": [200, 100, 50],
+        "doc_id": [1, 2, 3],
+        "text_out": ["a200", "a100", "b50"],
+    }).to_parquet(f"{in_dir}/b1.parquet")
+    out1 = run().set_index("canonical_url").sort_index()
+    assert len(out1) == 2
+    # within the introducing batch, earliest (ts, id) wins
+    assert out1.loc["a", "first_id"] == 2 and out1.loc["a", "first_ts"] == 100
+    assert out1.loc["a", "text_out"] == "a100"
+    assert out1.loc["a", "n_in_batch"] == 2
+
+    pd.DataFrame({
+        "canonical_url": ["a", "c"],
+        "warc_ts": [10, 999],   # 'a' earlier than batch 1 — still held
+        "doc_id": [9, 4],
+        "text_out": ["a10", "c999"],
+    }).to_parquet(f"{in_dir}/b2.parquet")
+    out2 = run()
+    assert len(out2) == 3      # only 'c' newly emitted
+    assert sorted(out2["canonical_url"]) == ["a", "b", "c"]
+    a = out2.set_index("canonical_url").loc["a"]
+    assert a["first_id"] == 2 and a["first_ts"] == 100

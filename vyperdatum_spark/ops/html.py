@@ -55,6 +55,19 @@ def _decode_entities(c: Column) -> Column:
     return c
 
 
+def extract_text_col(html_col: Column) -> Column:
+    """The extraction chain as ONE column expression — for callers
+    that need text_out alongside other columns (streaming pipelines,
+    compositions). Each stage is referenced exactly once, so the
+    nested expression evaluates each regexp once per row (staging is
+    only needed when an intermediate is referenced more than once)."""
+    s = F.decode(html_col, "UTF-8")
+    for pat in (RE_COMMENT, RE_SCRIPT, RE_STYLE, RE_TAG):
+        s = F.regexp_replace(s, pat, "")
+    s = _decode_entities(s)
+    return F.trim(F.regexp_replace(s, RE_WS, " "))
+
+
 def extract_text(df: DataFrame, id_col: str = "doc_id",
                  html_col: str = "html") -> DataFrame:
     """(id, text_out, n_html_bytes): visible text per page.
@@ -87,19 +100,25 @@ def extract_text(df: DataFrame, id_col: str = "doc_id",
                     F.col("n_html_bytes"))
 
 
-def extract_text_sql(pages: str, id_col: str = "doc_id",
-                     html_col: str = "html") -> str:
-    """DuckDB twin of extract_text over a subquery/table `pages`
-    whose html column is a BLOB. Flags: 'g' replaces all (Spark's
-    regexp_replace always does); 's'/'i' carried inline in the shared
-    patterns."""
-    s = f"decode({html_col})"
+def extract_expr_sql(html_expr: str) -> str:
+    """The extraction chain as one DuckDB expression over a BLOB
+    expression — the SQL twin of extract_text_col. Flags: 'g'
+    replaces all (Spark's regexp_replace always does); 's'/'i'
+    carried inline in the shared patterns."""
+    s = f"decode({html_expr})"
     for pat in (RE_COMMENT, RE_SCRIPT, RE_STYLE, RE_TAG):
         s = f"regexp_replace({s}, '{pat}', '', 'g')"
     for ent, ch in ENTITIES:
         lit = ch.replace("'", "''")
         s = f"replace({s}, '{ent}', '{lit}')"
-    s = f"trim(regexp_replace({s}, '{RE_WS}', ' ', 'g'))"
+    return f"trim(regexp_replace({s}, '{RE_WS}', ' ', 'g'))"
+
+
+def extract_text_sql(pages: str, id_col: str = "doc_id",
+                     html_col: str = "html") -> str:
+    """DuckDB twin of extract_text over a subquery/table `pages`
+    whose html column is a BLOB."""
+    s = extract_expr_sql(html_col)
     return (
         f"SELECT {id_col}, {s} AS text_out, "
         f"CAST(octet_length({html_col}) AS BIGINT) AS n_html_bytes "

@@ -51,6 +51,19 @@ def pii_redact(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def pii_annotate(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composition form: APPENDS (clean_text, n_email, n_ip, n_phone)
+    to the input DataFrame, keeping every existing column — for
+    pipelines that carry url/ts/lineage alongside the text. Same
+    staged rule order as pii_redact."""
+    d = df.withColumn("_t", F.col(text_col))
+    for (pat, tok), kind in zip(PII_RULES, _KINDS):
+        cnt = F.size(F.regexp_extract_all(F.col("_t"), F.lit(pat), 0))
+        d = d.withColumn(f"n_{kind}", cnt.cast("long"))
+        d = d.withColumn("_t", F.regexp_replace(F.col("_t"), pat, tok))
+    return d.withColumnRenamed("_t", "clean_text")
+
+
 def pii_redact_sql(table: str = "documents", id_col: str = "doc_id",
                    text_col: str = "text") -> str:
     """DuckDB twin: identical patterns, staged in the same order."""

@@ -140,17 +140,14 @@ GOPHER_MAX_DUP_WORD_FRAC = 0.75
 GOPHER_WORD_LEN_RANGE = (2.0, 12.0)
 
 
-def repetition_df(df: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text") -> DataFrame:
-    """(id, n_words, n_distinct_words, dup_word_frac, top_word_frac,
-    gopher_keep): repetition signals + the composite keep decision.
-    Pure column math — array_distinct / aggregate over the token
-    array, zero shuffle, codegen projection at any scale.
+def repetition_cols(text: Column) -> dict[str, Column]:
+    """Repetition signals + the composite Gopher keep decision as
+    reusable column expressions (pure column math, zero shuffle).
 
     top_word_frac (share of the modal token) is computed as a fold
     over the DISTINCT token list counting occurrences in the full
     list — O(d·n) per doc on both engines, bounded by doc length."""
-    toks = _toks(F.col(text_col))
+    toks = _toks(text)
     dtoks = F.array_distinct(toks)
     n_words = F.size(toks)
     n_distinct = F.size(dtoks)
@@ -165,7 +162,7 @@ def repetition_df(df: DataFrame, id_col: str = "doc_id",
         ),
     )
     top_frac = F.round(top_cnt.cast("double") / n_words.cast("double"), 6)
-    n_chars = F.length(F.col(text_col))
+    n_chars = F.length(text)
     avg_wl = (n_chars - (n_words - 1)).cast("double") / n_words.cast("double")
     lo, hi = GOPHER_WORD_LEN_RANGE
     keep = (
@@ -174,13 +171,22 @@ def repetition_df(df: DataFrame, id_col: str = "doc_id",
         & (dup_frac <= GOPHER_MAX_DUP_WORD_FRAC)
         & (avg_wl >= lo) & (avg_wl <= hi)
     )
+    return {
+        "n_words": n_words.cast("long"),
+        "n_distinct_words": n_distinct.cast("long"),
+        "dup_word_frac": dup_frac,
+        "top_word_frac": top_frac,
+        "gopher_keep": keep,
+    }
+
+
+def repetition_df(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """(id, n_words, n_distinct_words, dup_word_frac, top_word_frac,
+    gopher_keep) — repetition_cols projected per document."""
+    cols = repetition_cols(F.col(text_col))
     return df.select(
-        F.col(id_col),
-        n_words.cast("long").alias("n_words"),
-        n_distinct.cast("long").alias("n_distinct_words"),
-        dup_frac.alias("dup_word_frac"),
-        top_frac.alias("top_word_frac"),
-        keep.alias("gopher_keep"),
+        F.col(id_col), *[c.alias(n) for n, c in cols.items()]
     )
 
 

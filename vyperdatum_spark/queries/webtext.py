@@ -125,14 +125,14 @@ def q_stream_first_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _doc_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic synthetic URL per document, exercising every
-    canonicalization rule on rotating subsets: scheme/host case,
-    default :443 port, trailing slash, leading utm_* param, fragment.
-    The case-varied '/Docs/' path proves case-folding stays off the
-    path."""
+def _url_col() -> F.Column:
+    """Deterministic synthetic URL per document (from doc_id+source),
+    exercising every canonicalization rule on rotating subsets:
+    scheme/host case, default :443 port, trailing slash, leading
+    utm_* param, fragment. The case-varied '/Docs/' path proves
+    case-folding stays off the path."""
     d = F.col("doc_id")
-    url = F.concat(
+    return F.concat(
         F.when(d % 4 == 0, F.lit("HTTPS://WWW.")).otherwise(F.lit("https://www.")),
         F.col("source"),
         F.when(d % 4 == 0, F.lit(".EXAMPLE.com")).otherwise(F.lit(".example.com")),
@@ -144,11 +144,15 @@ def _doc_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
                ).otherwise(F.lit("")),
         F.when(d % 6 == 0, F.lit("#sec2")).otherwise(F.lit("")),
     )
-    return _docs(spark, sf_dir).select(d.alias("doc_id"), url.alias("url"))
 
 
-_DOC_URLS_SQL = (
-    "SELECT doc_id, "
+def _doc_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id"), _url_col().alias("url")
+    )
+
+
+_URL_SQL = (
     "(CASE WHEN doc_id % 4 = 0 THEN 'HTTPS://WWW.' ELSE 'https://www.' END)"
     " || source || "
     "(CASE WHEN doc_id % 4 = 0 THEN '.EXAMPLE.com' ELSE '.example.com' END)"
@@ -157,9 +161,10 @@ _DOC_URLS_SQL = (
     " || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)"
     " || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&ref=' ||"
     " CAST(doc_id % 9 AS VARCHAR) ELSE '' END)"
-    " || (CASE WHEN doc_id % 6 = 0 THEN '#sec2' ELSE '' END) AS url "
-    "FROM documents"
+    " || (CASE WHEN doc_id % 6 = 0 THEN '#sec2' ELSE '' END)"
 )
+
+_DOC_URLS_SQL = f"SELECT doc_id, {_URL_SQL} AS url FROM documents"
 
 
 def url_dedup_oracle_sql() -> str:
@@ -178,33 +183,42 @@ def url_dedup_oracle_sql() -> str:
 
 
 # ------------------------------------------------------- round-4 fixtures
+def _warc_ts_col() -> F.Column:
+    """Synthetic capture timestamp (epoch seconds, long): canonical
+    URL groups span many ts values with planted ties broken by id."""
+    d = F.col("doc_id")
+    return (F.lit(1700000000) + (d % 89) * 3600 + (d % 13)).cast("long")
+
+
+_WARC_TS_SQL = (
+    "CAST(1700000000 + (doc_id % 89) * 3600 + (doc_id % 13) AS BIGINT)"
+)
+
+
 def _doc_urls_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic (doc_id, warc_ts, url) captures: canonical URLs
     collide across ~source×50 path groups so latest-capture has real
-    work; warc_ts is epoch seconds (long) with planted ties broken by
-    id."""
-    d = F.col("doc_id")
-    ts = (F.lit(1700000000) + (d % 89) * 3600 + (d % 13)).cast("long")
-    return _doc_urls(spark, sf_dir).select(
-        "doc_id", ts.alias("warc_ts"), "url"
+    work."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", _warc_ts_col().alias("warc_ts"), _url_col().alias("url")
     )
 
 
 _DOC_URLS_TS_SQL = (
-    "SELECT doc_id, CAST(1700000000 + (doc_id % 89) * 3600 + (doc_id % 13)"
-    " AS BIGINT) AS warc_ts, url FROM (" + _DOC_URLS_SQL + ")"
+    f"SELECT doc_id, {_WARC_TS_SQL} AS warc_ts, url FROM ("
+    + _DOC_URLS_SQL + ")"
 )
 
 
-def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synthetic Common-Crawl-shaped pages: documents.text wrapped in
-    an html:binary payload exercising every extraction rule on
-    rotating subsets — uppercase SCRIPT tags, multi-line script
-    bodies, comments containing tag-like junk, numeric/named entity
-    encodings. Built so the extracted text is BYTE-IDENTICAL to the
-    original `text` (the north-rule per-row invariant)."""
+def _page_html_col(text_col: str = "text") -> F.Column:
+    """documents.text wrapped in an html page string exercising every
+    extraction rule on rotating subsets — uppercase SCRIPT tags,
+    multi-line script bodies, comments containing tag-like junk,
+    numeric/named entity encodings. Built so the extracted text is
+    BYTE-IDENTICAL to the source text (the north-rule per-row
+    invariant)."""
     d = F.col("doc_id")
-    enc = F.replace(F.col("text"), F.lit("e"), F.lit("&#101;"))
+    enc = F.replace(F.col(text_col), F.lit("e"), F.lit("&#101;"))
     enc = F.when(d % 11 == 0,
                  F.replace(enc, F.lit(" "), F.lit("&nbsp;"))).otherwise(enc)
     script = F.when(
@@ -219,33 +233,63 @@ def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         d % 5 == 0,
         F.concat(F.lit("<!--<p>junk "), d.cast("string"), F.lit("</p>-->")),
     ).otherwise(F.concat(F.lit("<!-- c"), d.cast("string"), F.lit(" -->")))
-    html_str = F.concat(
+    return F.concat(
         F.lit("<!DOCTYPE html><html><head><title></title>"),
         script,
         F.lit("<style>.c{color:#fff}</style></head><body class=\"m\">"),
         comment,
         F.lit("<p>"), enc, F.lit("</p><br/></body></html>"),
     )
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, html:binary) — the minimal extraction fixture."""
     return _docs(spark, sf_dir).select(
-        d.alias("doc_id"), F.encode(html_str, "UTF-8").alias("html")
+        F.col("doc_id"), F.encode(_page_html_col(), "UTF-8").alias("html")
+    )
+
+
+def _cc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL north-rule input shape (BASELINE.json input_hint):
+    (url, warc_ts, html:binary, text, lang) per page, synthesized
+    deterministically from documents — html wraps the text so
+    extraction reproduces `text` byte-identically."""
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id"),
+        _url_col().alias("url"),
+        _warc_ts_col().alias("warc_ts"),
+        F.encode(_page_html_col(), "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def _page_html_sql(text_expr: str = "text") -> str:
+    """DuckDB twin of _page_html_col (the page string, pre-encode)."""
+    return (
+        "'<!DOCTYPE html><html><head><title></title>'"
+        " || (CASE WHEN doc_id % 3 = 0 THEN"
+        " '<SCRIPT type=\"text/javascript\">var a=1;</SCRIPT>'"
+        " ELSE '<script>if(a<b){' || chr(10) || 'f(\"x &amp; y\");}</script>'"
+        " END)"
+        " || '<style>.c{color:#fff}</style></head><body class=\"m\">'"
+        " || (CASE WHEN doc_id % 5 = 0 THEN"
+        " '<!--<p>junk ' || CAST(doc_id AS VARCHAR) || '</p>-->'"
+        " ELSE '<!-- c' || CAST(doc_id AS VARCHAR) || ' -->' END)"
+        " || '<p>' || (CASE WHEN doc_id % 11 = 0 THEN"
+        f" replace(replace({text_expr}, 'e', '&#101;'), ' ', '&nbsp;')"
+        f" ELSE replace({text_expr}, 'e', '&#101;') END)"
+        " || '</p><br/></body></html>'"
     )
 
 
 _PAGES_SQL = (
-    "SELECT doc_id, encode("
-    "'<!DOCTYPE html><html><head><title></title>'"
-    " || (CASE WHEN doc_id % 3 = 0 THEN"
-    " '<SCRIPT type=\"text/javascript\">var a=1;</SCRIPT>'"
-    " ELSE '<script>if(a<b){' || chr(10) || 'f(\"x &amp; y\");}</script>'"
-    " END)"
-    " || '<style>.c{color:#fff}</style></head><body class=\"m\">'"
-    " || (CASE WHEN doc_id % 5 = 0 THEN"
-    " '<!--<p>junk ' || CAST(doc_id AS VARCHAR) || '</p>-->'"
-    " ELSE '<!-- c' || CAST(doc_id AS VARCHAR) || ' -->' END)"
-    " || '<p>' || (CASE WHEN doc_id % 11 = 0 THEN"
-    " replace(replace(text, 'e', '&#101;'), ' ', '&nbsp;')"
-    " ELSE replace(text, 'e', '&#101;') END)"
-    " || '</p><br/></body></html>') AS html FROM documents"
+    f"SELECT doc_id, encode({_page_html_sql()}) AS html FROM documents"
+)
+
+_CC_PAGES_SQL = (
+    f"SELECT doc_id, {_URL_SQL} AS url, {_WARC_TS_SQL} AS warc_ts, "
+    f"encode({_page_html_sql()}) AS html, text, lang FROM documents"
 )
 
 
@@ -298,12 +342,13 @@ def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.lit(""))
     return _docs(spark, sf_dir).select(
         d.alias("doc_id"),
+        F.col("source"),
         F.concat(F.col("text"), email, ip, phone).alias("text"),
     )
 
 
 _PII_DOCS_SQL = (
-    "SELECT doc_id, text || "
+    "SELECT doc_id, source, text || "
     "(CASE WHEN doc_id % 3 = 0 THEN ' contact user' || "
     "CAST(doc_id % 50 AS VARCHAR) || '@mail' || "
     "CAST(doc_id % 7 AS VARCHAR) || '.example.com now' ELSE '' END) || "
@@ -314,6 +359,145 @@ _PII_DOCS_SQL = (
     "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END) AS text "
     "FROM documents"
 )
+
+
+def q_stream_curated_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING curation front-end in one query: drain documents
+    as a stream, page-ify (html:binary + url + warc_ts), extract text
+    (JVM regexp chain — stateless, streaming-safe), canonicalize the
+    URL, then a keyed-state first-capture dedup per canonical URL
+    (applyInPandasWithState). On a single-batch drain this equals the
+    batch 'earliest (ts, id) per canonical URL' aggregate — closed
+    form, so the whole streaming composition is oracle-checkable;
+    cross-batch state behavior is pytest-covered."""
+    from ..ops import html as html_ops
+    from ..ops import urls
+    from ..streaming import stateful
+    from ..streaming.windows import drain_to_parquet, query_work_dir
+
+    def build(docs_stream: DataFrame) -> DataFrame:
+        pages = docs_stream.select(
+            F.col("doc_id"),
+            _warc_ts_col().alias("warc_ts"),
+            _url_col().alias("url"),
+            F.encode(_page_html_col(), "UTF-8").alias("html"),
+        )
+        canon = urls.canonical_url_df(pages, extra_cols=["warc_ts", "html"])
+        enriched = canon.select(
+            "doc_id", "warc_ts", "canonical_url",
+            html_ops.extract_text_col(F.col("html")).alias("text_out"),
+        )
+        return stateful.stream_first_capture(enriched)
+
+    return drain_to_parquet(
+        spark, f"{sf_dir}/documents.parquet",
+        query_work_dir("curated_capture"), build,
+    )
+
+
+def stream_curated_capture_sql() -> str:
+    from ..ops import html as html_ops
+    from ..ops import urls
+
+    canon = urls.canonical_url_sql(
+        _CC_PAGES_SQL, extra_cols=["warc_ts", "html"]
+    )
+    ext = html_ops.extract_expr_sql("html")
+    return (
+        f"WITH c AS ({canon}), "
+        f"e AS (SELECT doc_id, warc_ts, canonical_url, {ext} AS text_out "
+        "FROM c) "
+        "SELECT canonical_url, doc_id AS first_id, warc_ts AS first_ts, "
+        "text_out, n_in_batch FROM ("
+        "SELECT *, COUNT(*) OVER (PARTITION BY canonical_url) AS n_in_batch, "
+        "ROW_NUMBER() OVER (PARTITION BY canonical_url "
+        "ORDER BY warc_ts, doc_id) AS rn FROM e) WHERE rn = 1"
+    )
+
+
+def q_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch Common-Crawl curation chain in ONE Spark plan:
+    pages (html:binary with PII planted in the text) → HTML→text
+    extraction → PII redaction (column-preserving) → Gopher repetition
+    filter → latest-capture-per-canonical-URL dedup. Output: one clean
+    row per kept page.
+
+    Plan shape at 100 TB: projections (extract/redact/filter) fuse
+    into one codegen stage; the only shuffles are the latest-capture
+    aggregate on the canonical key and its join back — the same
+    two-exchange shape as dedup.exact_duplicates + keeper join."""
+    from ..ops import html as html_ops
+    from ..ops import pii as pii_ops
+    from ..ops import textstats as ts
+    from ..ops import urls
+
+    # _url_col()/_warc_ts_col() depend only on doc_id+source, which
+    # the PII-augmented docs carry — page-ification stays one scan
+    pages = _pii_docs(spark, sf_dir).select(
+        F.col("doc_id"),
+        _warc_ts_col().alias("warc_ts"),
+        _url_col().alias("url"),
+        F.encode(_page_html_col("text"), "UTF-8").alias("html"),
+    )
+    canon = urls.canonical_url_df(pages, extra_cols=["warc_ts", "html"])
+    ext = canon.select(
+        "doc_id", "warc_ts", "canonical_url",
+        html_ops.extract_text_col(F.col("html")).alias("text_out"),
+    )
+    red = pii_ops.pii_annotate(ext, "text_out")
+    rep = ts.repetition_cols(F.col("clean_text"))
+    kept = red.withColumn("n_words", rep["n_words"]).filter(
+        rep["gopher_keep"]
+    )
+    # latest capture per canonical key, directly on the already-
+    # canonical column (same map-combining max-struct shape as
+    # urls.latest_capture, minus the redundant re-canonicalization)
+    latest_ids = (
+        ext.groupBy("canonical_url")
+        .agg(F.max(F.struct("warc_ts", "doc_id")).alias("_b"))
+        .select(F.col("_b.doc_id").alias("doc_id"))
+    )
+    out = kept.join(latest_ids, "doc_id")
+    return out.select(
+        "doc_id", "canonical_url", "clean_text",
+        (F.col("n_email") + F.col("n_ip") + F.col("n_phone"))
+        .cast("long").alias("n_pii"),
+        "n_words",
+    )
+
+
+def curation_end_to_end_sql() -> str:
+    from ..ops import html as html_ops
+    from ..ops import pii as pii_ops
+    from ..ops import textstats as ts
+    from ..ops import urls
+
+    pii_pages = (
+        f"SELECT doc_id, {_URL_SQL} AS url, {_WARC_TS_SQL} AS warc_ts, "
+        f"encode({_page_html_sql('text')}) AS html "
+        f"FROM ({_PII_DOCS_SQL})"
+    )
+    canon = urls.canonical_url_sql(pii_pages, extra_cols=["warc_ts", "html"])
+    ext = html_ops.extract_expr_sql("html")
+    red = pii_ops.pii_redact_sql(
+        table="(SELECT doc_id, text_out AS text FROM e)")
+    rep = ts.repetition_sql(
+        table="(SELECT doc_id, clean_text AS text FROM r)")
+    return (
+        f"WITH c AS ({canon}), "
+        f"e AS (SELECT doc_id, warc_ts, canonical_url, {ext} AS text_out "
+        "FROM c), "
+        f"r AS ({red}), "
+        f"g AS ({rep}), "
+        "l AS (SELECT doc_id FROM ("
+        "SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY canonical_url "
+        "ORDER BY warc_ts DESC, doc_id DESC) AS rn FROM e) WHERE rn = 1) "
+        "SELECT e.doc_id, e.canonical_url, r.clean_text, "
+        "CAST(r.n_email + r.n_ip + r.n_phone AS BIGINT) AS n_pii, "
+        "g.n_words "
+        "FROM e JOIN r USING (doc_id) JOIN g USING (doc_id) "
+        "JOIN l USING (doc_id) WHERE g.gopher_keep"
+    )
 
 
 def queries() -> dict:
@@ -328,6 +512,8 @@ def queries() -> dict:
         "line_dedup": lambda s, d: lines.remove_common_lines(_ml_docs(s, d)),
         "pii_redact": lambda s, d: pii.pii_redact(_pii_docs(s, d)),
         "text_repetition": lambda s, d: textstats.repetition_df(_docs(s, d)),
+        "curation_end_to_end": q_curation_end_to_end,
+        "stream_curated_capture": q_stream_curated_capture,
         "dedup_exact": lambda s, d: dedup.exact_duplicates(_docs_with_dups(s, d)),
         "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
         "dedup_simhash": lambda s, d: dedup.simhash_groups(_docs(s, d)),
@@ -381,6 +567,8 @@ def oracle_sql() -> dict:
         "line_dedup": lines.remove_common_lines_sql(f"({_ML_DOCS_SQL})"),
         "pii_redact": pii.pii_redact_sql(f"({_PII_DOCS_SQL})"),
         "text_repetition": textstats.repetition_sql(),
+        "curation_end_to_end": curation_end_to_end_sql(),
+        "stream_curated_capture": stream_curated_capture_sql(),
         "dedup_exact": dedup.exact_duplicates_sql(table=DUPS_SQL),
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs_sql(),
         "dedup_simhash": dedup.simhash_groups_sql(),

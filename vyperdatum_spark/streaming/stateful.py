@@ -141,6 +141,65 @@ def _first_fn(key, pdf_iter, state: GroupState):
     })])
 
 
+CAPTURE_OUT_SCHEMA = StructType([
+    StructField("canonical_url", StringType()),
+    StructField("first_id", LongType()),
+    StructField("first_ts", LongType()),
+    StructField("text_out", StringType()),
+    StructField("n_in_batch", LongType()),
+])
+
+
+def _first_capture_fn(key, pdf_iter, state: GroupState):
+    """First capture per canonical URL with its extracted-text payload:
+    within the introducing batch the earliest (ts, id) row wins; later
+    batches only bump the fetch counter. Input groups carry columns
+    (_ts, _id, text_out)."""
+    n = 0
+    best = None  # (ts, id, text_out)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        if len(pdf):
+            row = pdf.sort_values(["_ts", "_id"]).iloc[0]
+            cand = (int(row["_ts"]), int(row["_id"]), row["text_out"])
+            best = cand if best is None or cand[:2] < best[:2] else best
+    if state.exists:
+        (seen,) = state.get
+        state.update((seen + n,))
+        return iter(())
+    state.update((n,))
+    return iter([pd.DataFrame({
+        "canonical_url": [key[0]],
+        "first_id": [best[1]],
+        "first_ts": [best[0]],
+        "text_out": [best[2]],
+        "n_in_batch": [n],
+    })])
+
+
+def stream_first_capture(rows, url_col: str = "canonical_url",
+                         ts_col: str = "warc_ts", id_col: str = "doc_id",
+                         text_col: str = "text_out"):
+    """Attach the keyed-state first-capture operator to a (possibly
+    streaming) DataFrame already carrying the canonical URL and the
+    extracted text: one groupBy(canonical_url) shuffle, state O(keys)."""
+    from pyspark.sql import functions as F
+
+    return (
+        rows.select(
+            F.col(url_col).alias("canonical_url"),
+            F.col(ts_col).alias("_ts"),
+            F.col(id_col).alias("_id"),
+            F.col(text_col).alias("text_out"),
+        )
+        .groupBy("canonical_url")
+        .applyInPandasWithState(
+            _first_capture_fn, CAPTURE_OUT_SCHEMA, STATE_SCHEMA, "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stream_first_per_key(
     spark: SparkSession,
     table_dir: str,
