@@ -481,6 +481,124 @@ def run_dedup_scaling(pairs: int = 3) -> dict:
     return report
 
 
+def curation_scale_child(pages_path: str, cores: int, reps: int = 3) -> None:
+    """One curation-pipeline run: the north-rule web-corpus chain over
+    the seeded pages table — scan (url, warc_ts, html) → canonicalize
+    URL → HTML→text extraction (JVM regexp chain) → PII annotation →
+    Gopher repetition filter → latest-capture dedup join. A
+    deterministic hash filter takes exactly 1/4 of the table (the
+    chain is ~5× heavier per row than the transform job)."""
+    from pyspark.sql import functions as F
+
+    from vyperdatum_spark.ops import pii as pii_ops
+    from vyperdatum_spark.ops import textstats as ts
+    from vyperdatum_spark.ops import urls
+    from vyperdatum_spark.ops.html import extract_text_col
+    from vyperdatum_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"curation-scale-{cores}", cores=cores,
+        shuffle_partitions=max(cores, 8),
+        extra_conf={"spark.ui.showConsoleProgress": "false",
+                    "spark.local.dir": "/dev/shm/spark-local",
+                    "spark.sql.files.maxPartitionBytes": "8m",
+                    "spark.locality.wait": "0s"},
+    )
+    from vyperdatum_spark.sources import tables
+
+    pages = (
+        tables.read_table(spark, pages_path)
+        .select("url", "warc_ts", "html")
+        .filter(F.pmod(F.xxhash64("url"), F.lit(4)) == 0)
+        .withColumn("doc_id", F.xxhash64("url"))
+    )
+    n_rows = pages.count()  # warm the input listing (not timed)
+    canon = urls.canonical_url_df(pages, url_col="url", id_col="doc_id",
+                                  extra_cols=["warc_ts", "html"])
+    ext = canon.select(
+        "doc_id", "warc_ts", "canonical_url",
+        extract_text_col(F.col("html")).alias("text_out"),
+    )
+    red = pii_ops.pii_annotate(ext, "text_out")
+    kept = red.filter(ts.repetition_cols(F.col("clean_text"))["gopher_keep"])
+    latest_ids = (
+        ext.groupBy("canonical_url")
+        .agg(F.max(F.struct("warc_ts", "doc_id")).alias("_b"))
+        .select(F.col("_b.doc_id").alias("doc_id"))
+    )
+    out = kept.join(latest_ids, "doc_id").select(
+        "doc_id", "canonical_url", "clean_text",
+        "n_email", "n_ip", "n_phone",
+    )
+    times = []
+    for rep in range(reps + 1):  # rep 0 = untimed warm-up
+        t0 = time.perf_counter()
+        _materialize(out)
+        if rep > 0:
+            times.append(time.perf_counter() - t0)
+    times.sort()
+    elapsed = times[len(times) // 2]
+    print(json.dumps({"cores": cores, "rows": n_rows,
+                      "sec": round(elapsed, 3),
+                      "all_secs": [round(t, 3) for t in times],
+                      "rows_per_sec": round(n_rows / elapsed, 1)}))
+    spark.stop()
+
+
+def run_curation_scaling(pairs: int = 3) -> dict:
+    """Two-parallelism evidence for the CURATION pipeline (same
+    alternating-pairs protocol as run_scaling; supplementary to the
+    north-rule transform-job criterion in BASELINE.md)."""
+    pages_path = ensure_bench_pages()
+    n, n4 = SCALE_N, 4 * SCALE_N
+    results = []
+    for _ in range(pairs):
+        lo = _run_child_generic(pages_path, n, "--curation-scale-child")
+        hi = _run_child_generic(pages_path, n4, "--curation-scale-child")
+        results.append((lo, hi))
+    ratios = sorted(h["rows_per_sec"] / l["rows_per_sec"] for l, h in results)
+    eff = ratios[len(ratios) // 2] / 4.0
+    lo = min((l for l, _ in results), key=lambda r: r["sec"])
+    hi = min((h for _, h in results), key=lambda r: r["sec"])
+    report = {"rows": lo["rows"],
+              f"local{n}_sec": lo["sec"], f"local{n4}_sec": hi["sec"],
+              f"local{n}_rows_per_sec": lo["rows_per_sec"],
+              f"local{n4}_rows_per_sec": hi["rows_per_sec"],
+              "pairs": [
+                  {f"local{n}_sec": l["sec"], f"local{n4}_sec": h["sec"],
+                   "ratio": round(h["rows_per_sec"] / l["rows_per_sec"], 2)}
+                  for l, h in results
+              ],
+              "scaling_efficiency": round(eff, 3)}
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/CURATION.md", "w") as f:
+        f.write(
+            "# BENCH/CURATION — curation-pipeline scaling evidence\n\n"
+            "The web-corpus curation chain (canonicalize URL → HTML→text\n"
+            "extraction → PII annotation → Gopher repetition filter →\n"
+            "latest-capture dedup join) over a deterministic 1/4 hash\n"
+            "slice of the seeded pages table; same protocol as\n"
+            "BASELINE.md (alternating N/4N pairs, fresh JVM per level,\n"
+            "warm-up + median of 3, efficiency = median ratio / 4).\n\n"
+            f"- input: `{pages_path}` (hash slice: {report['rows']:,} pages)\n"
+            f"- command: `python bench.py --curation-scale-child <pages> "
+            f"{n}|{n4}`\n\n"
+            "| level | wall sec | rows/s |\n|---|---|---|\n"
+            f"| local[{n}]  (N)  | {report[f'local{n}_sec']} |"
+            f" {report[f'local{n}_rows_per_sec']:,} |\n"
+            f"| local[{n4}] (4N) | {report[f'local{n4}_sec']} |"
+            f" {report[f'local{n4}_rows_per_sec']:,} |\n\n"
+            f"per-pair: {report['pairs']}\n\n"
+            f"**Scaling efficiency = {report['scaling_efficiency']}**\n"
+            "(supplementary: the chain is regex-CPU-bound through the\n"
+            "extraction/redaction stages — embarrassingly parallel — with\n"
+            "two shuffles at the tail (latest-capture aggregate + join);\n"
+            "the north-rule ≥0.8 criterion is the transform job in\n"
+            "BASELINE.md)\n"
+        )
+    return report
+
+
 def _run_child_generic(path: str, cores: int, flag: str) -> dict:
     cmd = [sys.executable, os.path.abspath(__file__), flag, path, str(cores)]
     out = subprocess.run(
@@ -500,6 +618,13 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--dedup-scale":
         print(json.dumps({"metric": "dedup-scaling", **run_dedup_scaling()}))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--curation-scale-child":
+        curation_scale_child(sys.argv[2], int(sys.argv[3]))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--curation-scale":
+        print(json.dumps({"metric": "curation-scaling",
+                          **run_curation_scaling()}))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         report = run_scaling()

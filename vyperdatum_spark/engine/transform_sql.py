@@ -605,22 +605,25 @@ def transform_points_sql(
                 # within one spacing — the exact _knn_fill semantics
                 # (argmin d², ties to the lowest row-major node index,
                 # gate sqrt(d²min) ≤ max(dlon, dlat))
+                # HOF argmin over the variable-length candidate array,
+                # NOT an unrolled C-way F.least over F.get slots: with
+                # C=64 the unrolled form blew the generated-code limit
+                # and DISABLED whole-stage codegen for the entire final
+                # projection ("Whole-stage codegen disabled for plan",
+                # measured 11 s vs the kernel twin's 1.8 s at sf0.1).
+                # HigherOrderFunction is CodegenFallback — one opaque
+                # interpreted call per EDGE row (join-miss rows pass a
+                # null array through to a null fill), while the rest of
+                # the projection stays codegen. Struct ordering
+                # (d2, i, v) keeps the tie-break: min d², then lowest
+                # row-major node index — exactly _knn_fill.
                 arr = F.col(f"kc{sfx}_{j}")
-                cand_structs = []
-                for i in range(n_cand):
-                    s = F.get(arr, i)  # null past the cell's count
-                    d2 = (x - s["lon"]) * (x - s["lon"]) \
-                        + (y - s["lat"]) * (y - s["lat"])
-                    cand_structs.append(F.when(
-                        s.isNotNull(),
-                        F.struct(
-                            d2.alias("d2"),
-                            s["i"].alias("i"),
-                            s["v"].alias("v"),
-                        ),
-                    ))
-                best = (F.least(*cand_structs) if len(cand_structs) > 1
-                        else cand_structs[0])
+                best = F.array_min(F.transform(arr, lambda s: F.struct(
+                    ((x - s["lon"]) * (x - s["lon"])
+                     + (y - s["lat"]) * (y - s["lat"])).alias("d2"),
+                    s["i"].alias("i"),
+                    s["v"].alias("v"),
+                )))
                 m = F.greatest(F.col(f"dlon{sfx}_{j}"), F.col(f"dlat{sfx}_{j}"))
                 fill = F.when(F.sqrt(best["d2"]) <= m, best["v"])
                 b = F.col(f"bil{sfx}_{j}")
