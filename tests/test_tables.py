@@ -104,3 +104,73 @@ def test_adopt_parquet_dir_migrates_raw_layout(spark, tmp_path):
     )
     assert tables.read_table(spark, d).count() == 4
     assert tables.read_table(spark, d, as_of=1).count() == 3
+
+
+def test_compact_table_rewrites_small_files_row_identical(spark, tmp_path):
+    """Iceberg rewrite_data_files analog: N append dirs collapse into
+    one compacted dir; rows identical, every pre-compaction snapshot
+    still time-travels, and the chain restarts at the compaction."""
+    import os
+
+    import pandas as pd
+
+    from vyperdatum_spark.sources import tables
+
+    d = str(tmp_path / "tiny_files")
+    for k in range(5):
+        tables.write_table(
+            spark.createDataFrame(pd.DataFrame({"a": [10 * k + j for j in range(10)]})),
+            d, mode="overwrite" if k == 0 else "append",
+        )
+    assert len(tables.snapshot_meta(d, 5)["dirs"]) == 5
+
+    sid = tables.compact_table(spark, d, target_files=1)
+    m = tables.snapshot_meta(d, sid)
+    assert m["mode"] == "compact"
+    assert len(m["dirs"]) == 1
+    assert m["properties"]["compacted_from"] == "5"
+    files = [
+        f for f in os.listdir(os.path.join(d, m["dirs"][0]))
+        if f.endswith(".parquet")
+    ]
+    assert len(files) == 1
+    got = sorted(r["a"] for r in tables.read_table(spark, d).collect())
+    assert got == list(range(50))
+    # time travel to any pre-compaction snapshot still works
+    assert tables.read_table(spark, d, as_of=3).count() == 30
+    # compaction starts a fresh chain (complete by construction)
+    chain = tables.current_chain(d)
+    assert [s["id"] for s in chain] == [sid]
+    # appends continue on top of the compacted snapshot
+    tables.write_table(
+        spark.createDataFrame(pd.DataFrame({"a": [99]})), d, mode="append"
+    )
+    assert tables.read_table(spark, d).count() == 51
+
+
+def test_schema_evolution_add_column_unions_by_name(spark, tmp_path):
+    """Iceberg add-column semantics: an append with a wider schema is
+    readable in one scan — old rows surface the new column as null —
+    while time travel to the pre-evolution snapshot keeps the narrow
+    schema."""
+    import pandas as pd
+
+    from vyperdatum_spark.sources import tables
+
+    d = str(tmp_path / "evolve")
+    tables.write_table(
+        spark.createDataFrame(pd.DataFrame({"id": [1, 2], "a": ["x", "y"]})),
+        d, mode="overwrite",
+    )
+    tables.write_table(
+        spark.createDataFrame(
+            pd.DataFrame({"id": [3], "a": ["z"], "b": [7]})
+        ),
+        d, mode="append",
+    )
+    cur = tables.read_table(spark, d)
+    assert set(cur.columns) == {"id", "a", "b"}
+    rows = {r["id"]: r["b"] for r in cur.collect()}
+    assert rows[1] is None and rows[2] is None and rows[3] == 7
+    old = tables.read_table(spark, d, as_of=1)
+    assert set(old.columns) == {"id", "a"}

@@ -64,8 +64,9 @@ def write_table(
     the data (exactly-once incremental processing: the watermark and
     the rows it covers land in one manifest commit).
     """
-    if mode not in ("overwrite", "append"):
-        raise ValueError(f"mode {mode!r} not in ('overwrite', 'append')")
+    if mode not in ("overwrite", "append", "compact"):
+        raise ValueError(
+            f"mode {mode!r} not in ('overwrite', 'append', 'compact')")
     os.makedirs(table_dir, exist_ok=True)
     meta = _load(table_dir)
     snap_id = (meta["current"] or 0) + 1
@@ -85,11 +86,44 @@ def write_table(
         "ts": time.time(),
         "mode": mode,
         "dirs": dirs,
+        # per-snapshot schema fingerprint: appends with a WIDER schema
+        # (added columns) are legal — read_table turns on parquet
+        # mergeSchema only when a snapshot's dirs actually span more
+        # than one recorded schema (the Iceberg add-column evolution;
+        # type CHANGES are not supported and fail at read)
+        "schema": df.schema.simpleString(),
         "properties": dict(properties or {}),
     })
     meta["current"] = snap_id
     _commit(table_dir, meta)
     return snap_id
+
+
+def compact_table(spark: SparkSession, table_dir: str,
+                  target_files: int = 8,
+                  properties: dict | None = None) -> int:
+    """Small-files compaction — Iceberg's ``rewrite_data_files``:
+    rewrite the CURRENT snapshot's rows into one new data directory
+    with a bounded file count and commit it as a ``compact`` snapshot.
+
+    Why it exists: streaming/chunked ingest commits one dir (≥1 file)
+    per micro-batch; after 10^4 commits a scan's file listing and task
+    granularity are dominated by tiny files. Compaction is
+    row-identical by construction (same rows, new layout); superseded
+    dirs stay on disk, so every pre-compaction snapshot remains
+    time-travelable. ``compact`` starts a new chain like ``overwrite``
+    (the rewritten data is complete), so checkpoint-resume semantics
+    are unchanged."""
+    meta = _load(table_dir)
+    if meta["current"] is None:
+        raise ValueError(f"{table_dir} has no committed snapshots")
+    prev_id = meta["current"]
+    prev_dirs = snapshot_meta(table_dir, prev_id)["dirs"]
+    df = read_table(spark, table_dir).coalesce(target_files)
+    props = {"compacted_from": str(prev_id),
+             "compacted_dirs": str(len(prev_dirs)),
+             **(properties or {})}
+    return write_table(df, table_dir, mode="compact", properties=props)
 
 
 def adopt_parquet_dir(table_dir: str, properties: dict | None = None) -> int:
@@ -166,13 +200,33 @@ def read_table(
     table_dir: str,
     as_of: int | None = None,
 ) -> DataFrame:
-    """Read the current snapshot, or time-travel to ``as_of``."""
+    """Read the current snapshot, or time-travel to ``as_of``.
+
+    Schema evolution: when the snapshot's data dirs were written by
+    commits with DIFFERENT recorded schemas (columns added by a later
+    append), the read unions by name via parquet ``mergeSchema`` —
+    rows from pre-evolution dirs surface the new columns as null,
+    Iceberg's add-column semantics. Homogeneous snapshots skip the
+    merge (no footer-merge cost on the common path)."""
     meta = _load(table_dir)
     if meta["current"] is None:
         raise ValueError(f"{table_dir} has no committed snapshots")
     snap = snapshot_meta(table_dir, as_of if as_of is not None else meta["current"])
     paths = [os.path.join(table_dir, d) for d in snap["dirs"]]
-    return spark.read.parquet(*paths)
+    by_id = {s["id"]: s for s in meta["snapshots"]}
+    fps = set()
+    for d in snap["dirs"]:
+        # data dirs are named data-{snap_id:05d}-…; adopted dirs have
+        # no recorded schema (unknown → treated as one fingerprint)
+        try:
+            writer_snap = by_id[int(d.split("-")[1])]
+            fps.add(writer_snap.get("schema", "?"))
+        except (IndexError, ValueError, KeyError):
+            fps.add("?")
+    reader = spark.read
+    if len(fps) > 1:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*paths)
 
 
 def incremental_rows(
