@@ -241,3 +241,52 @@ def test_stream_first_capture_across_batches(spark, tmp_path):
     assert sorted(out2["canonical_url"]) == ["a", "b", "c"]
     a = out2.set_index("canonical_url").loc["a"]
     assert a["first_id"] == 2 and a["first_ts"] == 100
+
+
+def test_incremental_curation_consumer_exactly_once(spark, tmp_path):
+    """Curation as an incremental snapshot consumer: only newly
+    crawled pages are extracted/redacted per run, the watermark
+    commits atomically with the curated rows, and a replay with
+    nothing new is a no-op — the north-rule checkpointed-consumer
+    shape applied to the curation chain."""
+    import pandas as pd
+
+    from vyperdatum_spark.ops.html import extract_text_col
+    from vyperdatum_spark.sources import tables
+
+    src = str(tmp_path / "crawl")
+    out = str(tmp_path / "curated")
+
+    def crawl_batch(lo, hi):
+        return spark.createDataFrame(pd.DataFrame({
+            "doc_id": list(range(lo, hi)),
+            "html": [
+                f"<html><body><p>doc {k} mail a@b{k}.example.net</p></body></html>"
+                .encode() for k in range(lo, hi)
+            ],
+        }))
+
+    def curate(rows):
+        from vyperdatum_spark.ops import pii
+        ext = rows.select(
+            "doc_id", extract_text_col(F.col("html")).alias("text_out"))
+        return pii.pii_annotate(ext, "text_out").select(
+            "doc_id", "clean_text", "n_email")
+
+    tables.write_table(crawl_batch(0, 50), src, mode="overwrite")
+    r1 = tables.process_incremental(spark, src, out, curate)
+    assert not r1["skipped"] and (r1["since"], r1["until"]) == (0, 1)
+    got1 = tables.read_table(spark, out)
+    assert got1.count() == 50
+    assert got1.filter(F.col("clean_text").contains("[EMAIL]")).count() == 50
+
+    tables.write_table(crawl_batch(50, 80), src, mode="append")
+    r2 = tables.process_incremental(spark, src, out, curate)
+    assert (r2["since"], r2["until"]) == (1, 2)
+    got2 = tables.read_table(spark, out)
+    assert got2.count() == 80                      # no re-curation of 0..49
+    assert got2.select("doc_id").distinct().count() == 80
+
+    r3 = tables.process_incremental(spark, src, out, curate)
+    assert r3["skipped"]
+    assert tables.consumer_watermark(out) == 2
