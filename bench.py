@@ -486,8 +486,10 @@ def curation_scale_child(pages_path: str, cores: int, reps: int = 3) -> None:
     the seeded pages table — scan (url, warc_ts, html) → canonicalize
     URL → HTML→text extraction (JVM regexp chain) → PII annotation →
     Gopher repetition filter → latest-capture dedup join. A
-    deterministic hash filter takes exactly 1/4 of the table (the
-    chain is ~5× heavier per row than the transform job)."""
+    deterministic hash filter takes 1/SPARK_GRAFT_CURATION_DENOM of
+    the table (default 1/16, ~2M pages: the chain runs ~15 regex
+    passes per row — roughly 5× heavier than the transform job — and
+    the child must fit the alternating-pairs protocol's budget)."""
     from pyspark.sql import functions as F
 
     from vyperdatum_spark.ops import pii as pii_ops
@@ -506,10 +508,11 @@ def curation_scale_child(pages_path: str, cores: int, reps: int = 3) -> None:
     )
     from vyperdatum_spark.sources import tables
 
+    denom = int(os.environ.get("SPARK_GRAFT_CURATION_DENOM", "16"))
     pages = (
         tables.read_table(spark, pages_path)
         .select("url", "warc_ts", "html")
-        .filter(F.pmod(F.xxhash64("url"), F.lit(4)) == 0)
+        .filter(F.pmod(F.xxhash64("url"), F.lit(denom)) == 0)
         .withColumn("doc_id", F.xxhash64("url"))
     )
     n_rows = pages.count()  # warm the input listing (not timed)
@@ -576,7 +579,7 @@ def run_curation_scaling(pairs: int = 3) -> dict:
             "# BENCH/CURATION — curation-pipeline scaling evidence\n\n"
             "The web-corpus curation chain (canonicalize URL → HTML→text\n"
             "extraction → PII annotation → Gopher repetition filter →\n"
-            "latest-capture dedup join) over a deterministic 1/4 hash\n"
+            "latest-capture dedup join) over a deterministic hash\n"
             "slice of the seeded pages table; same protocol as\n"
             "BASELINE.md (alternating N/4N pairs, fresh JVM per level,\n"
             "warm-up + median of 3, efficiency = median ratio / 4).\n\n"

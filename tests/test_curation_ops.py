@@ -290,3 +290,22 @@ def test_incremental_curation_consumer_exactly_once(spark, tmp_path):
     r3 = tables.process_incremental(spark, src, out, curate)
     assert r3["skipped"]
     assert tables.consumer_watermark(out) == 2
+
+
+def test_cc_pages_is_the_input_hint_shape(spark):
+    """_cc_pages synthesizes the exact north-rule input table shape —
+    (url, warc_ts, html:binary, text, lang) — and extraction over its
+    html column reproduces `text` byte-identically."""
+    from vyperdatum_spark.ops.html import extract_text_col
+    from vyperdatum_spark.queries.webtext import _cc_pages
+
+    pages = _cc_pages(spark, "/root/testdata/sf0.001")
+    fields = {f.name: f.dataType.simpleString() for f in pages.schema.fields}
+    assert fields == {
+        "doc_id": "bigint", "url": "string", "warc_ts": "bigint",
+        "html": "binary", "text": "string", "lang": "string",
+    }
+    bad = pages.select(
+        (extract_text_col(F.col("html")) != F.col("text")).alias("ne")
+    ).filter("ne").count()
+    assert bad == 0
