@@ -309,3 +309,62 @@ def test_cc_pages_is_the_input_hint_shape(spark):
         (extract_text_col(F.col("html")) != F.col("text")).alias("ne")
     ).filter("ne").count()
     assert bad == 0
+
+
+# ------------------------------------------------------------ blocklist
+def test_blocklist_filter_exact_and_parent_domain(spark):
+    from vyperdatum_spark.ops import urls as u
+
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4, 5],
+        "url": [
+            "https://bad.example.com/x",          # exact host block
+            "https://ads.bad.example.com/y",      # parent-domain block
+            "HTTPS://BAD.EXAMPLE.com:443/z",      # case/port still blocked
+            "https://user:pw@bad.example.com/w",  # userinfo stripped
+            "https://goodbad.example.com/ok",     # NOT a label suffix
+            "https://fine.example.org/ok",
+        ],
+    })
+    got = (
+        u.blocklist_filter(spark.createDataFrame(pdf), ["bad.example.com"])
+        .toPandas()
+    )
+    assert sorted(got["doc_id"]) == [4, 5]
+
+
+def test_blocklist_keeps_all_when_no_hit(spark):
+    from vyperdatum_spark.ops import urls as u
+
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1],
+        "url": ["https://a.example.com/x", "https://b.example.org/y"],
+    })
+    got = u.blocklist_filter(
+        spark.createDataFrame(pdf), ["nowhere.example.net"]
+    )
+    assert got.count() == 2
+    assert set(got.columns) == {"doc_id", "url"}
+
+
+# ----------------------------------------------------- trigram language ID
+def test_langid_trigram_goldens(spark):
+    from vyperdatum_spark.ops import textstats as ts
+
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [
+            "the value and the table",    # en markers
+            "el valor la los",            # es markers
+            "",                           # empty: zero hits everywhere
+        ],
+    })
+    got = (
+        ts.langid_trigram_df(spark.createDataFrame(pdf))
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert got.loc[0, "pred_lang"] == "en" and got.loc[0, "tri_hits"] > 0
+    assert got.loc[1, "pred_lang"] == "es" and got.loc[1, "tri_hits"] > 0
+    # all-zero scores: struct max falls to the lexicographically last
+    assert got.loc[2, "tri_hits"] == 0
+    assert got.loc[2, "pred_lang"] == sorted(ts.LANG_MARKERS)[-1]

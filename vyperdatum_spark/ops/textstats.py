@@ -129,6 +129,68 @@ def langid_sql(table: str = "documents", id_col: str = "doc_id",
     )
 
 
+# -------------------------------------------------- trigram language ID
+def _trigram_profiles() -> dict[str, list[str]]:
+    """Per-language character-trigram profiles, derived
+    deterministically from the marker lexicon (a real system ships
+    corpus-learned profiles; the derivation rule is the contract here
+    so Spark and the DuckDB oracle share one table)."""
+    profs: dict[str, list[str]] = {}
+    for lang in sorted(LANG_MARKERS):
+        grams: list[str] = []
+        for w in LANG_MARKERS[lang]:
+            token = f" {w} "  # boundary-marked, textcat-style
+            grams.extend(token[i:i + 3] for i in range(len(token) - 2))
+        profs[lang] = sorted(set(grams))
+    return profs
+
+
+def langid_trigram_df(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """(id, pred_lang, tri_hits): character-trigram language ID — the
+    n-gram upgrade of the marker-word heuristic (langid_df). The text
+    is boundary-padded, its DISTINCT trigrams intersected with each
+    language's profile, argmax with the same struct tie-break as
+    langid_df. Zero shuffle; the per-language filters are HOFs
+    (CodegenFallback), bounded by O(distinct trigrams × profile)."""
+    t = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    n3 = F.length(t) - 2
+    tris = F.array_distinct(F.transform(
+        F.when(n3 >= 1, F.sequence(F.lit(1), n3))
+        .otherwise(F.array().cast("array<int>")),
+        lambda i: t.substr(i, F.lit(3)),
+    ))
+    scores = []
+    for lang, prof in _trigram_profiles().items():
+        cnt = F.size(F.filter(tris, lambda g: g.isin(*prof)))
+        scores.append(F.struct(cnt.alias("score"), F.lit(lang).alias("lang")))
+    best = F.greatest(*scores)
+    return df.select(
+        F.col(id_col),
+        best["lang"].alias("pred_lang"),
+        best["score"].cast("long").alias("tri_hits"),
+    )
+
+
+def langid_trigram_sql(table: str = "documents", id_col: str = "doc_id",
+                       text_col: str = "text") -> str:
+    t = f"(' ' || lower({text_col}) || ' ')"
+    tris = (
+        f"list_distinct(list_transform(generate_series(1, "
+        f"length({t}) - 2), i -> substr({t}, i, 3)))"
+    )
+    structs = []
+    for lang, prof in _trigram_profiles().items():
+        lits = ", ".join("'" + g.replace("'", "''") + "'" for g in prof)
+        cnt = f"len(list_filter({tris}, g -> g IN ({lits})))"
+        structs.append(f"{{'score': {cnt}, 'lang': '{lang}'}}")
+    best = f"list_max([{', '.join(structs)}])"
+    return (
+        f"SELECT {id_col}, {best}['lang'] AS pred_lang, "
+        f"CAST({best}['score'] AS BIGINT) AS tri_hits FROM {table}"
+    )
+
+
 # --------------------------------------------- repetition / gopher rules
 # Gopher-style repetition bounds (Rae et al. 2021, public): documents
 # dominated by repeated tokens are template/spam, not prose. Tuned to

@@ -46,6 +46,71 @@ def url_dedup(df: DataFrame, url_col: str = "url",
     )
 
 
+def host_of(url_col) -> F.Column:
+    """Registrable host of a URL (lowercased authority minus port and
+    userinfo) — the key for domain-blocklist filtering."""
+    auth = F.lower(F.regexp_extract(F.col(url_col) if isinstance(url_col, str)
+                                    else url_col, _AUTH_RE, 1))
+    host = F.regexp_replace(auth, r"^[a-z][a-z0-9+.-]*://", "")
+    host = F.regexp_replace(host, r"^[^@]*@", "")
+    return F.regexp_replace(host, r":\d+$", "")
+
+
+def blocklist_filter(df: DataFrame, blocked_hosts: list[str],
+                     url_col: str = "url") -> DataFrame:
+    """Domain-blocklist URL filtering (the UT1/adult-list stage of a
+    web-corpus pipeline): drop rows whose host OR any parent domain is
+    blocked ('ads.example.com' is blocked by 'example.com').
+
+    Scale shape: the blocklist ships as a BROADCAST dim (real lists
+    are ~10^6 hosts ≈ tens of MB — well inside broadcast range) and
+    the match is a left_anti join on the exploded suffix chain of each
+    host (a host yields ≤ label-count suffixes, ~3-5), so the corpus
+    side never shuffles."""
+    spark = df.sparkSession
+    bl = spark.createDataFrame(
+        [(h.lower(),) for h in blocked_hosts], "blocked_host string"
+    )
+    host = host_of(url_col)
+    with_host = df.withColumn("_host", host)
+    # suffix chain: ['a.b.c', 'b.c', 'c'] via array slicing of labels
+    labels = F.split(F.col("_host"), r"\.")
+    suffixes = F.transform(
+        F.sequence(F.lit(1), F.size(labels)),
+        lambda i: F.array_join(F.slice(labels, i, F.size(labels)), "."),
+    )
+    exploded = with_host.withColumn("_sfx", F.explode(suffixes))
+    hit_ids = (
+        exploded.join(F.broadcast(bl),
+                      exploded["_sfx"] == bl["blocked_host"], "inner")
+        .select("_host").distinct()
+    )
+    return (
+        with_host.join(F.broadcast(hit_ids), "_host", "left_anti")
+        .drop("_host")
+    )
+
+
+def blocklist_filter_sql(inner_sql: str, blocked_hosts: list[str],
+                         url_col: str = "url") -> str:
+    """DuckDB twin: same host extraction + suffix-chain membership."""
+    hosts = ", ".join(f"('{h.lower()}')" for h in blocked_hosts)
+    auth = f"lower(regexp_extract({url_col}, '{_AUTH_RE}', 1))"
+    host = (
+        f"regexp_replace(regexp_replace(regexp_replace({auth}, "
+        "'^[a-z][a-z0-9+.-]*://', ''), '^[^@]*@', ''), ':[0-9]+$', '')"
+    )
+    return (
+        f"WITH _in AS (SELECT *, {host} AS _host FROM ({inner_sql})), "
+        f"_bl(blocked_host) AS (VALUES {hosts}), "
+        "_hit AS (SELECT DISTINCT i._host FROM _in i, _bl b "
+        "WHERE i._host = b.blocked_host "
+        "OR i._host LIKE '%.' || b.blocked_host) "
+        "SELECT * EXCLUDE (_host) FROM _in "
+        "WHERE _host NOT IN (SELECT _host FROM _hit)"
+    )
+
+
 def latest_capture(df: DataFrame, url_col: str = "url",
                    ts_col: str = "warc_ts", id_col: str = "doc_id") -> DataFrame:
     """Latest capture per canonical URL — the Common-Crawl snapshot

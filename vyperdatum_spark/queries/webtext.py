@@ -361,6 +361,17 @@ _PII_DOCS_SQL = (
 )
 
 
+# exact host + parent-domain entries, exercising both match modes
+# (fixture hosts are www.srcN.example.com / www.srcN.EXAMPLE.com:443)
+BLOCKED_HOSTS = ["www.src0.example.com", "src1.example.com"]
+
+
+def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops import urls
+
+    return urls.blocklist_filter(_doc_urls(spark, sf_dir), BLOCKED_HOSTS)
+
+
 def q_stream_curated_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING curation front-end in one query: drain documents
     as a stream, page-ify (html:binary + url + warc_ts), extract text
@@ -514,6 +525,7 @@ def queries() -> dict:
         "text_repetition": lambda s, d: textstats.repetition_df(_docs(s, d)),
         "curation_end_to_end": q_curation_end_to_end,
         "stream_curated_capture": q_stream_curated_capture,
+        "url_blocklist_filter": q_url_blocklist,
         "dedup_exact": lambda s, d: dedup.exact_duplicates(_docs_with_dups(s, d)),
         "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
         "dedup_simhash": lambda s, d: dedup.simhash_groups(_docs(s, d)),
@@ -542,6 +554,9 @@ def queries() -> dict:
         "ann_ivf_topk": lambda s, d: similarity.ann_ivf_topk(_embs(s, d)),
         "text_quality": lambda s, d: textstats.quality_df(_docs(s, d)),
         "text_langid": lambda s, d: textstats.langid_df(_docs(s, d)),
+        "text_langid_trigram": lambda s, d: textstats.langid_trigram_df(
+            _docs(s, d)
+        ),
         "text_token_counts": lambda s, d: textstats.token_counts_df(_docs(s, d)),
         "doc_fingerprint": lambda s, d: textstats.fingerprint_df(_docs(s, d)),
         "multimodal_meta": q_multimodal_meta,
@@ -569,6 +584,8 @@ def oracle_sql() -> dict:
         "text_repetition": textstats.repetition_sql(),
         "curation_end_to_end": curation_end_to_end_sql(),
         "stream_curated_capture": stream_curated_capture_sql(),
+        "url_blocklist_filter": urls.blocklist_filter_sql(
+            _DOC_URLS_SQL, BLOCKED_HOSTS),
         "dedup_exact": dedup.exact_duplicates_sql(table=DUPS_SQL),
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs_sql(),
         "dedup_simhash": dedup.simhash_groups_sql(),
@@ -582,6 +599,7 @@ def oracle_sql() -> dict:
         "ann_ivf_topk": similarity.ann_ivf_topk_sql(),
         "text_quality": textstats.quality_sql(),
         "text_langid": textstats.langid_sql(),
+        "text_langid_trigram": textstats.langid_trigram_sql(),
         "text_token_counts": textstats.token_counts_sql(),
         "doc_fingerprint": textstats.fingerprint_sql(),
         "multimodal_meta": multimodal_meta_sql(),
