@@ -368,3 +368,17 @@ def test_langid_trigram_goldens(spark):
     # all-zero scores: struct max falls to the lexicographically last
     assert got.loc[2, "tri_hits"] == 0
     assert got.loc[2, "pred_lang"] == sorted(ts.LANG_MARKERS)[-1]
+
+
+def test_top_ngrams_counts_and_order(spark):
+    from vyperdatum_spark.ops import textstats as ts
+
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["a b a b", "a b c", "z"],   # 'a b' x3 across 2 docs
+    })
+    got = ts.top_ngrams(spark.createDataFrame(pdf), n=2, k=3).toPandas()
+    assert list(got.columns) == ["ngram", "n_docs", "n_occurrences"]
+    assert got.iloc[0].tolist() == ["a b", 2, 3]
+    rest = set(map(tuple, got.iloc[1:].values.tolist()))
+    assert rest == {("b a", 1, 1), ("b c", 1, 1)}

@@ -287,6 +287,60 @@ def repetition_sql(table: str = "documents", id_col: str = "doc_id",
     )
 
 
+# ------------------------------------------------------- top-k n-grams
+def top_ngrams(df: DataFrame, n: int = 2, k: int = 20,
+               text_col: str = "text") -> DataFrame:
+    """(ngram, n_docs, n_occurrences) for the corpus's top-k word
+    n-grams — the corpus-statistics op behind boilerplate discovery
+    and contamination triage. Deterministic order: occurrences DESC,
+    then ngram ASC (total tie-break, engine-portable).
+
+    Scale shape: explode n-gram positions (projection) → ONE hash
+    shuffle with map-side partial aggregation → a k-row ordered take.
+    The final global sort is over the aggregated (distinct-ngram)
+    table, not the corpus."""
+    toks = _toks(F.col(text_col))
+    n_pos = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos))
+        .otherwise(F.array().cast("array<int>")),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    ex = df.select(F.explode(grams).alias("ngram"))
+    agg = ex.groupBy("ngram").agg(F.count("*").alias("n_occurrences"))
+    docs = (
+        df.select(F.explode(F.array_distinct(grams)).alias("ngram"))
+        .groupBy("ngram").agg(F.count("*").alias("n_docs"))
+    )
+    return (
+        agg.join(docs, "ngram")
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram"))
+        .limit(k)
+        .select("ngram", "n_docs", "n_occurrences")
+    )
+
+
+def top_ngrams_sql(table: str = "documents", n: int = 2, k: int = 20,
+                   text_col: str = "text") -> str:
+    toks = f"string_split({text_col}, ' ')"
+    grams = (
+        f"list_transform(generate_series(1, len({toks}) - {n - 1}), "
+        f"i -> array_to_string({toks}[i : i + {n - 1}], ' '))"
+    )
+    return (
+        f"WITH _g AS (SELECT unnest({grams}) AS ngram FROM {table}), "
+        f"_d AS (SELECT unnest(list_distinct({grams})) AS ngram "
+        f"FROM {table}), "
+        "_occ AS (SELECT ngram, COUNT(*) AS n_occurrences FROM _g "
+        "GROUP BY ngram), "
+        "_nd AS (SELECT ngram, COUNT(*) AS n_docs FROM _d GROUP BY ngram) "
+        "SELECT o.ngram, CAST(d.n_docs AS BIGINT) AS n_docs, "
+        "CAST(o.n_occurrences AS BIGINT) AS n_occurrences "
+        "FROM _occ o JOIN _nd d USING (ngram) "
+        f"ORDER BY o.n_occurrences DESC, o.ngram LIMIT {k}"
+    )
+
+
 # -------------------------------------------------------- token counts
 def token_counts_df(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:

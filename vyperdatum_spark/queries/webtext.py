@@ -558,6 +558,7 @@ def queries() -> dict:
             _docs(s, d)
         ),
         "text_token_counts": lambda s, d: textstats.token_counts_df(_docs(s, d)),
+        "text_top_ngrams": lambda s, d: textstats.top_ngrams(_docs(s, d)),
         "doc_fingerprint": lambda s, d: textstats.fingerprint_df(_docs(s, d)),
         "multimodal_meta": q_multimodal_meta,
         "decontaminate": lambda s, d: dedup.decontaminate(
@@ -601,6 +602,7 @@ def oracle_sql() -> dict:
         "text_langid": textstats.langid_sql(),
         "text_langid_trigram": textstats.langid_trigram_sql(),
         "text_token_counts": textstats.token_counts_sql(),
+        "text_top_ngrams": textstats.top_ngrams_sql(),
         "doc_fingerprint": textstats.fingerprint_sql(),
         "multimodal_meta": multimodal_meta_sql(),
         "decontaminate": dedup.decontaminate_sql(
