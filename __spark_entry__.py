@@ -54,6 +54,10 @@ from vyperdatum_spark.queries import geo
 #   (making room: geo_parse_mentions — geoparse is driver-gated
 #   inside pipeline_end_to_end; dedup_simhash — same signature
 #   machinery as the exposed, stronger dedup_simhash_hamming).
+# Rotated IN late round 4: dedup_cluster_canonical (LSH→verify→
+#   connected-components→keep-one, the marquee dedup composition);
+#   making room: geo_version_fingerprint — S9 stays driver-evidenced
+#   by geo_lineage_wkt, and the md5 fingerprint scalar by dedup_exact.
 EXPOSED = [
     # marquee compositions + streaming
     "pipeline_end_to_end",
@@ -81,7 +85,6 @@ EXPOSED = [
     "geo_region_counts",
     "geo_coverage_stats",
     "geo_pipeline_plans",
-    "geo_version_fingerprint",
     "geo_lineage_wkt",
     # sinks
     "geo_csv_roundtrip",
@@ -97,6 +100,7 @@ EXPOSED = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_lsh_verified",
+    "dedup_cluster_canonical",
     "dedup_simhash_hamming",
     "dedup_embedding_cosine",
     "decontaminate",

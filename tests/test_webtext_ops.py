@@ -288,3 +288,49 @@ def test_jaccard_candidates_are_normalized(spark):
     out = dedup.jaccard_pairs(df, threshold=0.0, candidates=messy).toPandas()
     pairs = list(zip(out.doc_a, out.doc_b))
     assert sorted(pairs) == [(0, 1), (0, 3)]  # no dup, mirror, or self
+
+
+# ---------------------------------------------- connected-component clusters
+class TestConnectedComponents:
+    def _cc(self, spark, edges):
+        from vyperdatum_spark.ops.dedup import connected_components
+
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        return {
+            (r["node"], r["comp"])
+            for r in connected_components(df).collect()
+        }
+
+    def test_chain_collapses_to_min(self, spark):
+        # worst case for naive propagation: a path graph
+        got = self._cc(spark, [(i, i + 1) for i in range(1, 8)])
+        assert got == {(i, 1) for i in range(1, 9)}
+
+    def test_two_components_and_reversed_edges(self, spark):
+        got = self._cc(spark, [(5, 3), (3, 9), (20, 30), (30, 20)])
+        assert got == {(3, 3), (5, 3), (9, 3), (20, 20), (30, 20)}
+
+    def test_empty_edges(self, spark):
+        got = self._cc(spark, [])
+        assert got == set()
+
+    def test_self_loops_ignored(self, spark):
+        got = self._cc(spark, [(4, 4), (4, 7)])
+        assert got == {(4, 4), (7, 4)}
+
+    def test_cluster_canonical_marks_min_member(self, spark):
+        from vyperdatum_spark.ops.dedup import cluster_canonical
+
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog again today"),
+            (2, "the quick brown fox jumps over the lazy dog again today"),
+            (3, "completely different text about maritime navigation charts"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+            for r in cluster_canonical(df, threshold=0.9).collect()
+        }
+        assert got[1] == (1, 1)
+        assert got[2] == (1, 0)
+        assert got[3] == (3, 1)

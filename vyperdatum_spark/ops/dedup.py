@@ -620,3 +620,144 @@ def jaccard_pairs_sql(table: str = "documents", id_col: str = "doc_id",
         f"AND a.{id_col} < b.{id_col} "
         f"WHERE {jac} >= {threshold!r}"
     )
+
+
+# -------------------------------------------- connected-component clusters
+def _canonical_edges(pairs: DataFrame, a: str, b: str) -> DataFrame:
+    """(u, v) with u = max(id), v = min(id), self-loops dropped."""
+    return (
+        pairs.select(
+            F.greatest(F.col(a), F.col(b)).alias("u"),
+            F.least(F.col(a), F.col(b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star: every neighbor strictly larger than u is re-pointed
+    at min(Γ(u) ∪ {u}).  Input/output canonical (u > v)."""
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    nbr = sym.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m"),
+        F.collect_set("v").alias("vs"),
+    )
+    out = (
+        nbr.select("m", F.explode("vs").alias("w"), "u")
+        .filter(F.col("w") > F.col("u"))
+        .select(F.col("w").alias("u"), F.col("m").alias("v"))
+    )
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star: all smaller-side neighbors (and u itself) are
+    pointed at m = min(Γ(u) ∪ {u}).  Input canonical (u > v)."""
+    nbr = edges.groupBy("u").agg(
+        F.min("v").alias("m"), F.collect_set("v").alias("vs")
+    )
+    out = nbr.select(
+        "m",
+        F.explode(F.array_union("vs", F.array("u"))).alias("w"),
+    ).filter(F.col("w") != F.col("m"))
+    return (
+        out.select(F.col("w").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(pairs: DataFrame, a: str = "doc_a",
+                         b: str = "doc_b",
+                         max_iter: int = 25) -> DataFrame:
+    """Distributed connected components over an undirected edge list →
+    one row per non-isolated node: (node, comp) with comp = the
+    component's minimum node id.
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): converges in
+    O(log² n) rounds, each round two shuffles (groupBy u).  This is
+    the 100-TB-safe shape — no driver-side graph, no per-row Python;
+    per-iteration ``localCheckpoint`` truncates the lineage so the
+    plan does not grow exponentially (on a real cluster use
+    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint`` for
+    executor-fault-tolerant truncation).
+
+    Convergence test: the (count, xxhash64-bit_xor) signature of the
+    edge set — two scalars to the driver per round, no edge-set diff
+    join (bit_xor is order-independent and cannot overflow under ANSI
+    arithmetic, unlike a hash sum).
+
+    Near-dup graphs from LSH are unions of near-cliques (tiny
+    diameter), so in practice this exits after 2-3 rounds.
+    """
+    edges = _canonical_edges(pairs, a, b).localCheckpoint()
+    sig_prev = None
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        sig = (row["n"], row["h"])
+        if sig == sig_prev:
+            break
+        sig_prev = sig
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+    # fixpoint edges form stars (u -> component min); add the roots
+    roots = edges.select(F.col("v").alias("u"), F.col("v").alias("v")).distinct()
+    return edges.union(roots).distinct().select(
+        F.col("u").alias("node"), F.col("v").alias("comp")
+    )
+
+
+def cluster_canonical(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      threshold: float = 0.5) -> DataFrame:
+    """Web-corpus near-dup clustering: LSH→verify pairs → connected
+    components → per-doc (doc_id, cluster_id, is_canonical) where
+    cluster_id is the min doc id of the cluster and the canonical
+    (kept) doc is that minimum member.  Docs with no verified
+    near-dup form singleton clusters (canonical by definition).
+
+    This is the standard CC-corpus dedup shape (MinHash-LSH candidate
+    buckets, exact-Jaccard verify, transitive closure, keep-one) —
+    reference analog: region-precedence "first wins" selection
+    (reference/vyperdatum/points.py:67) generalized to duplicate
+    clusters."""
+    pairs = lsh_verified_pairs(df, id_col, text_col, threshold)
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    cluster = F.coalesce(F.col("comp"), F.col(id_col))
+    return (
+        df.select(id_col)
+        .join(comp, F.col(id_col) == F.col("node"), "left")
+        .select(
+            F.col(id_col),
+            cluster.alias("cluster_id"),
+            (F.col(id_col) == cluster).cast("int").alias("is_canonical"),
+        )
+    )
+
+
+def cluster_canonical_sql(table: str = "documents", id_col: str = "doc_id",
+                          text_col: str = "text",
+                          threshold: float = 0.5) -> str:
+    """DuckDB oracle: recursive-CTE reachability (src → min reachable
+    node) — independent of the star-contraction algorithm, so it
+    cross-checks the transitive closure itself."""
+    pairs = lsh_verified_pairs_sql(table, id_col, text_col, threshold)
+    # lsh_verified_pairs_sql starts WITH its own CTEs; inline as subquery
+    return (
+        f"WITH RECURSIVE pairs AS ({pairs}), "
+        "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs "
+        "UNION SELECT doc_b, doc_a FROM pairs), "
+        "reach(src, dst) AS ("
+        "SELECT u, u FROM (SELECT DISTINCT u FROM edges) "
+        "UNION SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u), "
+        "comp AS (SELECT src, MIN(dst) AS comp FROM reach GROUP BY src) "
+        f"SELECT d.{id_col}, COALESCE(c.comp, d.{id_col}) AS cluster_id, "
+        f"CAST(d.{id_col} = COALESCE(c.comp, d.{id_col}) AS INT) AS is_canonical "
+        f"FROM {table} d LEFT JOIN comp c ON d.{id_col} = c.src"
+    )

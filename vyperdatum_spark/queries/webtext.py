@@ -541,6 +541,9 @@ def queries() -> dict:
         "dedup_lsh_verified": lambda s, d: dedup.lsh_verified_pairs(
             _docs(s, d), threshold=0.5
         ),
+        "dedup_cluster_canonical": lambda s, d: dedup.cluster_canonical(
+            _docs_with_dups(s, d), threshold=0.5
+        ),
         "dedup_embedding_cosine": lambda s, d: similarity.cosine_dup_pairs(
             _embs(s, d), threshold=0.35
         ),
@@ -593,6 +596,8 @@ def oracle_sql() -> dict:
         "dedup_simhash_hamming": dedup.simhash_hamming_pairs_sql(table=DUPS_SQL),
         "dedup_ngram_jaccard": dedup.jaccard_pairs_sql(threshold=0.5),
         "dedup_lsh_verified": dedup.lsh_verified_pairs_sql(threshold=0.5),
+        "dedup_cluster_canonical": dedup.cluster_canonical_sql(
+            table=DUPS_SQL, threshold=0.5),
         "dedup_embedding_cosine": similarity.cosine_dup_pairs_sql(threshold=0.35),
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk_sql(),
         "ann_lsh_topk": similarity.ann_lsh_topk_sql(),
