@@ -226,3 +226,35 @@ def test_stateful_ttl_kernel_arms_and_ages_out():
     st0 = FakeState()
     list(fn0(("u",), iter([pdf]), st0))
     assert st0.timeout_set is None
+
+
+def test_session_window_boundary_merges_at_exact_gap(spark):
+    """Pin the session-merge rule the rel_events_sessions oracle
+    assumes: an event at exactly prev_ts + gap JOINS the session
+    (split only when the gap is strictly exceeded)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0),
+        (1, t0 + dt.timedelta(hours=8)),          # exactly the gap: merge
+        (1, t0 + dt.timedelta(hours=20)),         # > gap after prev: split
+        (2, t0),                                   # other user isolated
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (r["user_id"], r["start"], r["n"])
+        for r in (
+            df.groupBy("user_id", F.session_window("ts", "8 hours").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select("user_id", "w.start", "n")
+            .collect()
+        )
+    }
+    assert out == {
+        (1, t0, 2),
+        (1, t0 + dt.timedelta(hours=20), 1),
+        (2, t0, 1),
+    }

@@ -95,6 +95,35 @@ def q_custs_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: Spark-native ``F.session_window``
+    (merging-session state machine inside one hash aggregate — in
+    streaming mode the same expression is incremental with watermarked
+    state eviction).  The oracle is the classic gaps-and-islands
+    rewrite: lag → new-session flag → running sum → group.  One
+    shuffle on user_id; per-user state is bounded by the gap horizon,
+    so the shape survives 10^12 events as long as single users aren't
+    hot keys (monitoring analog of the crawl's per-source cadence)."""
+    ev = _t(spark, sf_dir, "events")
+    gap = "8 hours"
+    return (
+        ev.groupBy(
+            F.col("user_id"), F.session_window(F.col("ts"), gap).alias("w")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("n_events"),
+            F.col("sum_value"),
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
 def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming (§2.8) window/watermark machinery under the
     oracle gate: AvailableNow drain of the static events table through
@@ -115,6 +144,7 @@ def queries() -> dict:
         "rel_top_orders_per_cust": q_top_orders_per_cust,
         "rel_nation_revenue": q_nation_revenue,
         "rel_events_hourly": q_events_hourly,
+        "rel_events_sessions": q_events_sessions,
         "rel_custs_without_orders": q_custs_without_orders,
         "stream_events_hourly": q_stream_events_hourly,
     }
@@ -135,6 +165,20 @@ def oracle_sql() -> dict:
             "  ROW_NUMBER() OVER (PARTITION BY o_custkey "
             "    ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders) "
             "WHERE rk <= 3"
+        ),
+        "rel_events_sessions": (
+            "WITH flagged AS ("
+            "  SELECT user_id, ts, value, "
+            "  CASE WHEN ts - lag(ts) OVER w > INTERVAL 8 HOUR "
+            "       OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s "
+            "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)"
+            "), numbered AS ("
+            "  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts "
+            "    ROWS UNBOUNDED PRECEDING) AS sid FROM flagged) "
+            "SELECT user_id, MIN(ts) AS session_start, "
+            "COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value "
+            "FROM numbered GROUP BY user_id, sid "
+            "ORDER BY user_id, session_start"
         ),
         "rel_nation_revenue": (
             "SELECT n_name, "
