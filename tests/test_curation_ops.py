@@ -382,3 +382,23 @@ def test_top_ngrams_counts_and_order(spark):
     assert got.iloc[0].tolist() == ["a b", 2, 3]
     rest = set(map(tuple, got.iloc[1:].values.tolist()))
     assert rest == {("b a", 1, 1), ("b c", 1, 1)}
+
+
+def test_curation_policy_reasons_per_rule(spark):
+    """Each policy rule fires independently and reasons are the
+    sorted comma-joined failed-rule names ('' when kept)."""
+    from vyperdatum_spark.ops.textstats import curation_policy_df
+
+    rows = [
+        (1, "tiny doc"),                                         # too_short
+        (2, " ".join(["spam"] * 40)),                            # repetitive
+        (3, " ".join(f"hyperextended{i}word" for i in range(12))),  # word_len
+        (4, "the quick brown fox and the lazy dog in a sunny park today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["keep"], r["reasons"])
+           for r in curation_policy_df(df).collect()}
+    assert got[1] == (0, "no_stopwords,too_short")
+    assert got[2] == (0, "no_stopwords,repetitive")
+    assert got[3] == (0, "no_stopwords,word_len")
+    assert got[4] == (1, "")

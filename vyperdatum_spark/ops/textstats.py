@@ -490,3 +490,69 @@ def sample_stratified_sql(table: str = "documents", id_col: str = "doc_id",
         f"(CAST({h} AS DOUBLE) / {_U_SCALE!r}) AS sample_u FROM {table}) "
         f"WHERE sample_u < CASE {lang_col} {whens} ELSE 1.0 END"
     )
+
+
+# ------------------------------------------------------ curation policy
+def curation_policy_df(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Composite quality policy: every Gopher-style rule evaluated
+    independently, emitting (id, keep, reasons) where reasons is the
+    comma-joined sorted list of FAILED rules — the auditable form a
+    production curation run logs per document (why a doc was dropped,
+    not just that it was).  Pure column math over one projection;
+    zero shuffle, zero Python."""
+    toks = _toks(F.col(text_col))
+    n_words = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    dup_frac = F.lit(1.0) - n_distinct.cast("double") / n_words.cast("double")
+    n_chars = F.length(F.col(text_col))
+    avg_wl = (n_chars - (n_words - 1)).cast("double") / n_words.cast("double")
+    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS)))
+    lo, hi = GOPHER_WORD_LEN_RANGE
+    rules = [
+        ("too_short", n_words < GOPHER_MIN_WORDS),
+        ("too_long", n_words > GOPHER_MAX_WORDS),
+        ("repetitive", dup_frac > GOPHER_MAX_DUP_WORD_FRAC),
+        ("word_len", (avg_wl < lo) | (avg_wl > hi)),
+        ("no_stopwords", n_stop == 0),
+    ]
+    flags = F.array(
+        *[F.when(cond, F.lit(name)) for name, cond in rules]
+    )
+    failed = F.array_sort(F.filter(flags, lambda x: x.isNotNull()))
+    return df.select(
+        F.col(id_col),
+        (F.size(failed) == 0).cast("int").alias("keep"),
+        F.concat_ws(",", failed).alias("reasons"),
+    )
+
+
+def curation_policy_sql(table: str = "documents", id_col: str = "doc_id",
+                        text_col: str = "text") -> str:
+    toks = f"string_split({text_col}, ' ')"
+    n_words = f"len({toks})"
+    n_distinct = f"len(list_distinct({toks}))"
+    dup = f"(1.0 - CAST({n_distinct} AS DOUBLE) / CAST({n_words} AS DOUBLE))"
+    n_chars = f"length({text_col})"
+    avg_wl = (
+        f"(CAST({n_chars} - ({n_words} - 1) AS DOUBLE) / "
+        f"CAST({n_words} AS DOUBLE))"
+    )
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    n_stop = f"len(list_filter({toks}, t -> lower(t) IN ({stop_list})))"
+    lo, hi = GOPHER_WORD_LEN_RANGE
+    cases = ", ".join([
+        f"CASE WHEN {n_words} < {GOPHER_MIN_WORDS} THEN 'too_short' END",
+        f"CASE WHEN {n_words} > {GOPHER_MAX_WORDS} THEN 'too_long' END",
+        f"CASE WHEN {dup} > {GOPHER_MAX_DUP_WORD_FRAC} THEN 'repetitive' END",
+        f"CASE WHEN {avg_wl} < {lo} OR {avg_wl} > {hi} THEN 'word_len' END",
+        f"CASE WHEN {n_stop} = 0 THEN 'no_stopwords' END",
+    ])
+    failed = f"list_sort(list_filter([{cases}], x -> x IS NOT NULL))"
+    return (
+        f"SELECT {id_col}, CAST(len({failed}) = 0 AS INT) AS keep, "
+        # COALESCE: DuckDB string_agg over an empty list is NULL;
+        # Spark concat_ws over an empty array is ''
+        f"COALESCE(list_aggregate({failed}, 'string_agg', ','), '') AS reasons "
+        f"FROM {table}"
+    )

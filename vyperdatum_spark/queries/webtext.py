@@ -35,6 +35,31 @@ DUPS_SQL = (
 )
 
 
+# planted policy edge cases: one doc per failure rule (plus one clean
+# keeper), appended to the corpus so curation_policy exercises every
+# branch at every scale factor
+_POLICY_PLANTS = [
+    (2000001, "tiny doc"),
+    (2000002, " ".join(["spam"] * 40)),
+    (2000003, " ".join(f"hyperextended{i}word" for i in range(12))),
+    (2000004, "the quick brown fox and the lazy dog in a sunny park today"),
+]
+
+
+def _policy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    plants = spark.createDataFrame(
+        _POLICY_PLANTS, "doc_id long, text string"
+    )
+    return _docs(spark, sf_dir).select("doc_id", "text").unionByName(plants)
+
+
+_POLICY_DOCS_SQL = (
+    "SELECT doc_id, text FROM documents UNION ALL SELECT * FROM (VALUES "
+    + ", ".join(f"({i}, '{t}')" for i, t in _POLICY_PLANTS)
+    + ") v(doc_id, text)"
+)
+
+
 def _media_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.text re-encoded as opaque binary payloads, a rotating
     subset prefixed with real codec magic bytes — deterministic stand-in
@@ -523,6 +548,9 @@ def queries() -> dict:
         "line_dedup": lambda s, d: lines.remove_common_lines(_ml_docs(s, d)),
         "pii_redact": lambda s, d: pii.pii_redact(_pii_docs(s, d)),
         "text_repetition": lambda s, d: textstats.repetition_df(_docs(s, d)),
+        "curation_policy": lambda s, d: textstats.curation_policy_df(
+            _policy_docs(s, d)
+        ),
         "curation_end_to_end": q_curation_end_to_end,
         "stream_curated_capture": q_stream_curated_capture,
         "url_blocklist_filter": q_url_blocklist,
@@ -586,6 +614,8 @@ def oracle_sql() -> dict:
         "line_dedup": lines.remove_common_lines_sql(f"({_ML_DOCS_SQL})"),
         "pii_redact": pii.pii_redact_sql(f"({_PII_DOCS_SQL})"),
         "text_repetition": textstats.repetition_sql(),
+        "curation_policy": textstats.curation_policy_sql(
+            table=f"({_POLICY_DOCS_SQL})"),
         "curation_end_to_end": curation_end_to_end_sql(),
         "stream_curated_capture": stream_curated_capture_sql(),
         "url_blocklist_filter": urls.blocklist_filter_sql(
