@@ -59,6 +59,7 @@ HEADLINE = [
     "pii_redact",
     "text_repetition",
     "curation_end_to_end",
+    "dedup_cluster_canonical",
 ]
 
 BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "32000000"))

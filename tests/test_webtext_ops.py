@@ -334,3 +334,24 @@ class TestConnectedComponents:
         assert got[1] == (1, 1)
         assert got[2] == (1, 0)
         assert got[3] == (3, 1)
+
+    def test_path_graph_round_bound(self, spark):
+        """Scale evidence for the star-contraction: a 4096-node PATH
+        (worst case for naive propagation — diameter 4095) collapses
+        to one component in ~log2(n) rounds, not O(diameter)."""
+        from pyspark.sql import functions as F
+
+        from vyperdatum_spark.ops.dedup import connected_components
+
+        n = 4096
+        edges = spark.range(1, n).select(
+            F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+        )
+        rounds: list = []
+        comp = connected_components(edges, rounds_out=rounds)
+        agg = comp.agg(
+            F.countDistinct("comp").alias("c"), F.count("*").alias("n")
+        ).collect()[0]
+        assert (agg["c"], agg["n"]) == (1, n)
+        # log2(4096) = 12 contraction rounds + 1 to observe the fixpoint
+        assert rounds and rounds[0] <= 15

@@ -670,7 +670,8 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 def connected_components(pairs: DataFrame, a: str = "doc_a",
                          b: str = "doc_b",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         rounds_out: list | None = None) -> DataFrame:
     """Distributed connected components over an undirected edge list →
     one row per non-isolated node: (node, comp) with comp = the
     component's minimum node id.
@@ -694,7 +695,7 @@ def connected_components(pairs: DataFrame, a: str = "doc_a",
     """
     edges = _canonical_edges(pairs, a, b).localCheckpoint()
     sig_prev = None
-    for _ in range(max_iter):
+    for it in range(max_iter):
         edges = _small_star(_large_star(edges)).localCheckpoint()
         row = edges.agg(
             F.count(F.lit(1)).alias("n"),
@@ -702,6 +703,8 @@ def connected_components(pairs: DataFrame, a: str = "doc_a",
         ).collect()[0]
         sig = (row["n"], row["h"])
         if sig == sig_prev:
+            if rounds_out is not None:
+                rounds_out.append(it + 1)
             break
         sig_prev = sig
     else:
