@@ -355,3 +355,50 @@ class TestConnectedComponents:
         assert (agg["c"], agg["n"]) == (1, n)
         # log2(4096) = 12 contraction rounds + 1 to observe the fixpoint
         assert rounds and rounds[0] <= 15
+
+
+# --------------------------------------------------- cardinality sketches
+class TestCardinalitySketches:
+    def test_estimate_within_hll_error_bound(self, spark):
+        from pyspark.sql import functions as F
+
+        from vyperdatum_spark.ops.sketches import cardinality_by
+
+        # 60k rows, 3 sources with known distinct-url cardinalities
+        df = spark.range(60000).select(
+            (F.col("id") % 3).alias("source"),
+            F.concat(F.lit("https://ex.com/p"),
+                     (F.col("id") % 20011).cast("string")).alias("url"),
+        )
+        got = {r["source"]: r for r in cardinality_by(df, "source", "url").collect()}
+        exact = {
+            s: spark.range(60000)
+            .filter(F.col("id") % 3 == s)
+            .select((F.col("id") % 20011)).distinct().count()
+            for s in (0, 1, 2)
+        }
+        for s in (0, 1, 2):
+            assert got[s]["n_rows"] == 20000
+            rel = abs(got[s]["est_distinct"] - exact[s]) / exact[s]
+            # lg_k=14 → RSE ~0.8%; allow 3 sigma
+            assert rel < 0.025, (s, got[s]["est_distinct"], exact[s])
+
+    def test_merge_equals_global_sketch(self, spark):
+        """Union of per-key sketches must give the same estimate as
+        one global sketch over all rows — associative merge is what
+        makes the sketch reusable across partitions/days."""
+        from pyspark.sql import functions as F
+
+        from vyperdatum_spark.ops.sketches import (cardinality_rollup,
+                                                   sketch_col)
+
+        df = spark.range(50000).select(
+            (F.col("id") % 7).alias("k"),
+            (F.col("id") % 12345).alias("v"),
+        )
+        rolled = cardinality_rollup(df, "k", "v").collect()[0]
+        direct = df.agg(
+            F.hll_sketch_estimate(sketch_col(F.col("v"))).alias("est")
+        ).collect()[0]["est"]
+        assert rolled["n_keys"] == 7
+        assert rolled["est_total"] == direct
