@@ -138,6 +138,19 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization (§2.8): session_window + watermark in
+    append mode over the AvailableNow drain; emitted = finalized
+    sessions (end ≤ max(ts) − watermark), reproduced in closed form
+    by the batch gaps-and-islands oracle plus the cutoff."""
+    from ..streaming import windows as sw
+
+    return sw.stream_events_sessions(
+        spark, f"{sf_dir}/events.parquet",
+        sw.query_work_dir("events_sessions"),
+    ).orderBy("user_id", "session_start")
+
+
 def queries() -> dict:
     return {
         "rel_pricing_summary": q_pricing_summary,
@@ -145,6 +158,7 @@ def queries() -> dict:
         "rel_nation_revenue": q_nation_revenue,
         "rel_events_hourly": q_events_hourly,
         "rel_events_sessions": q_events_sessions,
+        "stream_events_sessions": q_stream_events_sessions,
         "rel_custs_without_orders": q_custs_without_orders,
         "stream_events_hourly": q_stream_events_hourly,
     }
@@ -178,6 +192,25 @@ def oracle_sql() -> dict:
             "SELECT user_id, MIN(ts) AS session_start, "
             "COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value "
             "FROM numbered GROUP BY user_id, sid "
+            "ORDER BY user_id, session_start"
+        ),
+        "stream_events_sessions": (
+            "WITH flagged AS ("
+            "  SELECT user_id, ts, value, "
+            "  CASE WHEN ts - lag(ts) OVER w > INTERVAL 8 HOUR "
+            "       OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s "
+            "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)"
+            "), numbered AS ("
+            "  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts "
+            "    ROWS UNBOUNDED PRECEDING) AS sid FROM flagged"
+            "), sess AS ("
+            "  SELECT user_id, MIN(ts) AS session_start, "
+            "  MAX(ts) + INTERVAL 8 HOUR AS session_end, "
+            "  COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value "
+            "  FROM numbered GROUP BY user_id, sid"
+            "), cut AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS wm FROM events) "
+            "SELECT user_id, session_start, session_end, n_events, sum_value "
+            "FROM sess, cut WHERE session_end <= wm "
             "ORDER BY user_id, session_start"
         ),
         "rel_nation_revenue": (

@@ -161,3 +161,44 @@ def stream_events_hourly(
         )
 
     return drain_to_parquet(spark, events_dir, work_dir, build)
+
+
+def stream_events_sessions(
+    spark: SparkSession,
+    events_dir: str,
+    work_dir: str,
+    gap: str = "8 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap-based sessionization run AS A STREAM: ``session_window``
+    is a merging-window state machine (late rows extend or merge
+    open sessions), watermark-bounded, append-mode — a finalized
+    session emits exactly once, when the watermark passes its end
+    (last event ts + gap).
+
+    On a drained static input the emission set is closed-form —
+    sessions with end ≤ max(ts) − watermark — so the streaming
+    session machinery itself is oracle-checkable against the batch
+    gaps-and-islands SQL plus that cutoff.  State at 10^12 rows is
+    O(open sessions), bounded by the watermark horizon per user.
+    """
+    def build(ev: DataFrame) -> DataFrame:
+        ev = ev.withColumn("_ts", F.col("ts").cast("timestamp"))
+        return (
+            ev.withWatermark("_ts", watermark)
+            .groupBy(
+                F.col("user_id"), F.session_window(F.col("_ts"), gap).alias("w")
+            )
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+            .select(
+                "user_id",
+                F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+                F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+                "n_events", "sum_value",
+            )
+        )
+
+    return drain_to_parquet(spark, events_dir, work_dir, build)
