@@ -82,3 +82,79 @@ def test_polygon_cover_superset_of_region_points():
     inside = pip.contains(list(r.polygon), lon, lat)
     enc = cells.encode_np(lon, lat, 5)
     assert set(int(e) for e in enc[inside]) <= cov
+
+
+# ------------------------------------------------------------- z-order
+class TestZOrder:
+    def test_three_dialects_bit_identical(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from vyperdatum_spark.spatial import zorder
+
+        rng = np.random.default_rng(3)
+        ix = rng.integers(0, 1 << 16, size=500, dtype=np.int64)
+        iy = rng.integers(0, 1 << 16, size=500, dtype=np.int64)
+        want = zorder.morton_np(ix, iy).tolist()
+
+        df = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in zip(ix, iy)], "ix long, iy long"
+        )
+        got_col = [
+            r["m"] for r in
+            df.select(zorder.morton_col(F.col("ix"), F.col("iy")).alias("m"))
+            .collect()
+        ]
+        assert got_col == want
+
+        import duckdb
+        got_sql = [
+            t[0] for t in duckdb.sql(
+                "SELECT " + zorder.morton_sql("ix", "iy") + " FROM ("
+                "SELECT unnest(" + str(ix.tolist()) + ") AS ix, "
+                "unnest(" + str(iy.tolist()) + ") AS iy)"
+            ).fetchall()
+        ]
+        assert got_sql == want
+
+    def test_zorder_write_enables_file_skipping(self, spark, tmp_path):
+        """The point of the layout: after zorder_write, a small bbox
+        intersects FEW files' lon/lat min-max boxes; after a
+        hash-shuffled write, every file spans the full extent."""
+        import glob
+
+        from pyspark.sql import functions as F
+
+        from vyperdatum_spark.spatial import zorder
+
+        pts = spark.range(20000).select(
+            (F.col("id") % 400).cast("double").alias("lon_i"),
+            ((F.col("id") * 7919) % 300).cast("double").alias("lat_i"),
+        ).select(
+            (F.lit(-78.0) + F.col("lon_i") * 0.01).alias("lon"),
+            (F.lit(33.0) + F.col("lat_i") * 0.01).alias("lat"),
+        )
+
+        def files_hit(path, bbox):
+            hits = total = 0
+            for f in glob.glob(f"{path}/part-*.parquet"):
+                st = spark.read.parquet(f).agg(
+                    F.min("lon"), F.max("lon"), F.min("lat"), F.max("lat")
+                ).collect()[0]
+                total += 1
+                if not (st[1] < bbox[0] or st[0] > bbox[1]
+                        or st[3] < bbox[2] or st[2] > bbox[3]):
+                    hits += 1
+            return hits, total
+
+        zdir, hdir = str(tmp_path / "z"), str(tmp_path / "h")
+        zorder.zorder_write(pts, zdir, "lon", "lat", n_files=8,
+                            res=9)  # fine res: cells smaller than extent
+        pts.repartition(8).write.parquet(hdir)
+
+        bbox = (-77.6, -77.4, 33.4, 33.6)  # small box in the middle
+        z_hits, z_total = files_hit(zdir, bbox)
+        h_hits, h_total = files_hit(hdir, bbox)
+        assert z_total == 8 and h_total == 8
+        assert h_hits == 8           # hash layout: every file spans extent
+        assert z_hits <= 3, z_hits   # z-order layout: bbox prunes to a few

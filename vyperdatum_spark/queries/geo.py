@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from ..datums import catalog, pipeline as pl, vypercrs
 from ..engine import transform as tx
 from ..grids import tiler
-from ..spatial import cells, crs as hcrs
+from ..spatial import cells, crs as hcrs, zorder as zorder_mod
 
 FAMOUS_X = -76.7512345
 FAMOUS_Y = 34.7512345
@@ -179,6 +179,24 @@ def q_geo_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pid",
         cells.encode_col(F.col("x"), F.col("y"), cells.COARSE_RES).alias("cell5"),
         cells.encode_col(F.col("x"), F.col("y"), cells.FINE_RES).alias("cell9"),
+    )
+
+
+def q_geo_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key per point at both index
+    resolutions — the storage-layout twin of geo_tile_assign (same
+    cells, interleaved instead of concatenated bit layout), used by
+    spatial.zorder.zorder_write to make bbox predicates prune at
+    parquet-file level."""
+    from ..spatial import zorder
+
+    pts = derived_points(spark, sf_dir)
+    return pts.select(
+        "pid",
+        zorder.morton_from_lonlat_col(
+            F.col("x"), F.col("y"), cells.COARSE_RES).alias("z5"),
+        zorder.morton_from_lonlat_col(
+            F.col("x"), F.col("y"), cells.FINE_RES).alias("z9"),
     )
 
 
@@ -896,6 +914,7 @@ def queries() -> dict:
     return {
         "geo_extent": q_geo_extent,
         "geo_tile_assign": q_geo_tile_assign,
+        "geo_zorder_key": q_geo_zorder_key,
         "geo_transform_mllw": _transform_query("mllw"),
         "geo_transform_mhw": _transform_query("mhw"),
         "geo_transform_navd88": _transform_query("navd88"),
@@ -942,6 +961,11 @@ def oracle_sql() -> dict:
         ),
         "geo_tile_assign": (
             f"{_pts_cte()} SELECT pid, {cell5} AS cell5, {cell9} AS cell9 FROM pts"
+        ),
+        "geo_zorder_key": (
+            f"{_pts_cte()} SELECT pid, "
+            f"{zorder_mod.morton_from_lonlat_sql('x', 'y', cells.COARSE_RES)} AS z5, "
+            f"{zorder_mod.morton_from_lonlat_sql('x', 'y', cells.FINE_RES)} AS z9 FROM pts"
         ),
         "geo_transform_mllw": transform_oracle_sql("ellipse", "mllw"),
         "geo_transform_mhw": transform_oracle_sql("ellipse", "mhw"),
