@@ -402,3 +402,44 @@ class TestCardinalitySketches:
         ).collect()[0]["est"]
         assert rolled["n_keys"] == 7
         assert rolled["est_total"] == direct
+
+
+# ----------------------------------------------- incremental exact dedup
+def test_incremental_dedup_across_crawls_exactly_once(spark, tmp_path):
+    """Crawl-over-crawl dedup: increment 2's repeat of increment 1's
+    content is rejected by the accepted-hash anti-join; a replay with
+    nothing new is a no-op; within-increment dups collapse to the
+    min-id winner."""
+    from vyperdatum_spark.ops.dedup import incremental_exact_dedup
+    from vyperdatum_spark.sources import tables
+
+    src = str(tmp_path / "crawl")
+    out = str(tmp_path / "accepted")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    # crawl 1: A, B, and an in-batch dup of A (id 3)
+    tables.write_table(
+        batch([(1, "alpha doc"), (2, "beta doc"), (3, "alpha doc")]),
+        src, mode="overwrite",
+    )
+    r1 = incremental_exact_dedup(spark, src, out)
+    assert not r1["skipped"]
+    got1 = {(r["doc_id"], r["text"])
+            for r in tables.read_table(spark, out).collect()}
+    assert got1 == {(1, "alpha doc"), (2, "beta doc")}
+
+    # crawl 2: re-crawl of A (new id) + genuinely new C
+    tables.write_table(
+        batch([(10, "alpha doc"), (11, "gamma doc")]), src, mode="append",
+    )
+    r2 = incremental_exact_dedup(spark, src, out)
+    assert not r2["skipped"]
+    got2 = {r["doc_id"] for r in tables.read_table(spark, out).collect()}
+    assert got2 == {1, 2, 11}
+
+    # replay: nothing new appended -> watermark makes it a no-op
+    r3 = incremental_exact_dedup(spark, src, out)
+    assert r3["skipped"]
+    assert tables.read_table(spark, out).count() == 3

@@ -764,3 +764,44 @@ def cluster_canonical_sql(table: str = "documents", id_col: str = "doc_id",
         f"CAST(d.{id_col} = COALESCE(c.comp, d.{id_col}) AS INT) AS is_canonical "
         f"FROM {table} d LEFT JOIN comp c ON d.{id_col} = c.src"
     )
+
+
+# ------------------------------------------------- incremental dedup
+def incremental_exact_dedup(spark, source_dir: str, out_dir: str,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> dict:
+    """Crawl-over-crawl exact dedup as an exactly-once incremental
+    snapshot consumer: each newly appended source increment is
+    content-hashed, deduped within itself (min id per hash wins),
+    anti-joined against every hash already ACCEPTED in the output
+    table, and committed atomically with the consumer watermark
+    (sources.tables.process_incremental).
+
+    The seen-set is the output table itself — no side state to drift
+    or lose; a crash before the commit reprocesses the same range
+    against the same seen-set, so no committed snapshot ever holds a
+    duplicate. At 10^12 rows the anti-join is a hash join on the
+    16-byte content hash; the accepted side stays partitionable and
+    the increment side is only the new crawl.
+    """
+    from pyspark.sql import functions as F  # noqa: F811 (local dialect)
+
+    from ..sources import tables
+
+    def dedupe(rows):
+        hashed = rows.withColumn("content_hash", F.md5(F.col(text_col)))
+        # within-increment: deterministic winner (min id) per hash
+        winners = (
+            hashed.groupBy("content_hash")
+            .agg(F.min_by(F.struct(*hashed.columns), F.col(id_col)).alias("_r"))
+            .select("_r.*")
+        )
+        try:
+            seen = tables.read_table(spark, out_dir).select(
+                "content_hash"
+            ).distinct()
+        except (ValueError, FileNotFoundError):
+            return winners  # first run: nothing accepted yet
+        return winners.join(seen, "content_hash", "left_anti")
+
+    return tables.process_incremental(spark, source_dir, out_dir, dedupe)
