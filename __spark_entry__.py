@@ -58,6 +58,13 @@ from vyperdatum_spark.queries import geo
 #   connected-components→keep-one, the marquee dedup composition);
 #   making room: geo_version_fingerprint — S9 stays driver-evidenced
 #   by geo_lineage_wkt, and the md5 fingerprint scalar by dedup_exact.
+# Rotated IN late round 4: rel_events_asof (the union-and-carry as-of
+#   join, ops/asof.py — a first-class custom operator Spark lacks);
+#   making room: geo_transform_inverse — the invert_steps compile is
+#   driver-evidenced by geo_transform_mllw_to_mhw, whose cross-datum
+#   plan runs the same inverse leg plus common-prefix elimination.
+#   The skew-safe twin rel_events_asof_bucketed stays extended-only
+#   (same oracle; equivalence pytest test_bucketed_equals_plain).
 EXPOSED = [
     # marquee compositions + streaming
     "pipeline_end_to_end",
@@ -69,7 +76,6 @@ EXPOSED = [
     "geo_transform_mllw",
     "geo_transform_projected",
     "geo_transform_outframe",
-    "geo_transform_inverse",
     "geo_transform_mllw_to_mhw",
     "geo_transform_from_depth",
     "geo_sampled_mllw",
@@ -118,6 +124,7 @@ EXPOSED = [
     "json_extract",
     # relational
     "rel_pricing_summary",
+    "rel_events_asof",
 ]
 
 

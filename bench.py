@@ -60,6 +60,7 @@ HEADLINE = [
     "text_repetition",
     "curation_end_to_end",
     "dedup_cluster_canonical",
+    "rel_events_asof",
 ]
 
 BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "32000000"))

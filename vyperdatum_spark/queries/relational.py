@@ -151,9 +151,64 @@ def q_stream_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "session_start")
 
 
+def q_events_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each event picks up the customer's most
+    recent order at-or-before the event timestamp (ties on orderdate
+    broken by greatest orderkey).  Runs the union-and-carry
+    ``ops.asof.asof_join`` — one shuffle on the key, no join node, no
+    range explosion; see the module docstring for the 10^12-row
+    analysis."""
+    from ..ops.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    o = _t(spark, sf_dir, "orders")
+    return asof_join(
+        ev, o,
+        left_on="user_id", right_on="o_custkey",
+        left_time="ts", right_time="o_orderdate",
+        payload=["o_orderkey", "o_orderdate", "o_totalprice"],
+        tie="o_orderkey",
+    )
+
+
+def q_events_asof_orders_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result via the skew-safe two-phase ``asof_join_bucketed``
+    (window partitions bounded by (key, 30-day bucket) instead of
+    whole keys) — the variant a hot-host crawl table needs."""
+    from ..ops.asof import asof_join_bucketed
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    o = _t(spark, sf_dir, "orders")
+    return asof_join_bucketed(
+        ev, o,
+        left_on="user_id", right_on="o_custkey",
+        left_time="ts", right_time="o_orderdate",
+        payload=["o_orderkey", "o_orderdate", "o_totalprice"],
+        tie="o_orderkey",
+        bucket_seconds=30 * 86400,
+    )
+
+
+_ASOF_ORACLE = (
+    "SELECT event_id, ts, user_id, event_type, "
+    "o_orderkey AS asof_o_orderkey, o_orderdate AS asof_o_orderdate, "
+    "o_totalprice AS asof_o_totalprice FROM ("
+    "  SELECT e.event_id, e.ts, e.user_id, e.event_type, "
+    "         o.o_orderkey, o.o_orderdate, o.o_totalprice, "
+    "         ROW_NUMBER() OVER (PARTITION BY e.event_id "
+    "           ORDER BY (o.o_orderkey IS NOT NULL) DESC, "
+    "                    o.o_orderdate DESC, o.o_orderkey DESC) AS rn "
+    "  FROM events e LEFT JOIN orders o "
+    "    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts"
+    ") t WHERE rn = 1"
+)
+
+
 def queries() -> dict:
     return {
         "rel_pricing_summary": q_pricing_summary,
+        "rel_events_asof": q_events_asof_orders,
+        "rel_events_asof_bucketed": q_events_asof_orders_bucketed,
         "rel_top_orders_per_cust": q_top_orders_per_cust,
         "rel_nation_revenue": q_nation_revenue,
         "rel_events_hourly": q_events_hourly,
@@ -166,6 +221,8 @@ def queries() -> dict:
 
 def oracle_sql() -> dict:
     return {
+        "rel_events_asof": _ASOF_ORACLE,
+        "rel_events_asof_bucketed": _ASOF_ORACLE,
         "rel_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, "
             "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
