@@ -189,6 +189,52 @@ def q_events_asof_orders_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join via the bucketed ``ops.ranges``
+    rewrite: every 'error' event opens a 2-hour incident window for
+    its user; count the user's events landing inside each window.
+    Equi-join on (bucket, user_id) + exact post-filter — no
+    nested-loop/cartesian node (plan-audited), replication factor
+    len(window)/bucket + 1 = 3."""
+    from ..ops.ranges import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    incidents = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        "user_id",
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("win_end"),
+    )
+    hits = range_join(
+        ev.select("ts", "user_id", "value"),
+        incidents,
+        left_point="ts",
+        right_start="win_start",
+        right_end="win_end",
+        on=["user_id"],
+        bucket_seconds=3600,
+    )
+    return (
+        hits.groupBy("incident_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+_RANGE_ORACLE = (
+    "SELECT i.incident_id, COUNT(*) AS n_events, "
+    "ROUND(SUM(e.value), 2) AS sum_value "
+    "FROM events e JOIN ("
+    "  SELECT event_id AS incident_id, user_id, ts AS s, "
+    "         ts + INTERVAL 2 HOUR AS en "
+    "  FROM events WHERE event_type = 'error') i "
+    "ON e.user_id = i.user_id AND e.ts >= i.s AND e.ts < i.en "
+    "GROUP BY i.incident_id"
+)
+
+
 _ASOF_ORACLE = (
     "SELECT event_id, ts, user_id, event_type, "
     "o_orderkey AS asof_o_orderkey, o_orderdate AS asof_o_orderdate, "
@@ -209,6 +255,7 @@ def queries() -> dict:
         "rel_pricing_summary": q_pricing_summary,
         "rel_events_asof": q_events_asof_orders,
         "rel_events_asof_bucketed": q_events_asof_orders_bucketed,
+        "rel_events_range_join": q_events_range_join,
         "rel_top_orders_per_cust": q_top_orders_per_cust,
         "rel_nation_revenue": q_nation_revenue,
         "rel_events_hourly": q_events_hourly,
@@ -223,6 +270,7 @@ def oracle_sql() -> dict:
     return {
         "rel_events_asof": _ASOF_ORACLE,
         "rel_events_asof_bucketed": _ASOF_ORACLE,
+        "rel_events_range_join": _RANGE_ORACLE,
         "rel_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, "
             "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
