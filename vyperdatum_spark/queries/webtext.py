@@ -536,6 +536,32 @@ def curation_end_to_end_sql() -> str:
     )
 
 
+def q_text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length distribution (p50/p90/p99) via the exact
+    distributed percentile — bit-identical to DuckDB quantile_cont on
+    integer inputs.  The sketch twin (approx_percentile) is the
+    100-TB path; its rank error is pinned in tests/test_quantiles.py."""
+    from ..ops.quantiles import group_quantiles
+
+    return group_quantiles(
+        _docs(spark, sf_dir), ["lang"], "n_chars", [0.5, 0.9, 0.99]
+    ).orderBy("lang")
+
+
+def q_text_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-threshold curation: keep docs at-or-above their
+    language's p90 length.  Cutoff dim = one row per language,
+    broadcast back — the filter pass adds no shuffle."""
+    from ..ops.quantiles import quantile_threshold_filter
+
+    return quantile_threshold_filter(
+        _docs(spark, sf_dir).select("doc_id", "lang", "n_chars"),
+        ["lang"],
+        "n_chars",
+        0.9,
+    )
+
+
 def queries() -> dict:
     from ..ops import html, lines, pii, urls
 
@@ -601,6 +627,8 @@ def queries() -> dict:
         ),
         "json_extract": q_json_extract,
         "stream_first_per_source": q_stream_first_per_source,
+        "text_length_quantiles": q_text_length_quantiles,
+        "text_quantile_filter": q_text_quantile_filter,
     }
 
 
@@ -650,5 +678,18 @@ def oracle_sql() -> dict:
             "SELECT source AS key, MIN(doc_id) AS first_id, "
             "CAST(COUNT(*) AS BIGINT) AS n_in_batch "
             "FROM documents GROUP BY source"
+        ),
+        "text_length_quantiles": (
+            "SELECT lang, quantile_cont(n_chars, 0.5) AS p50, "
+            "quantile_cont(n_chars, 0.9) AS p90, "
+            "quantile_cont(n_chars, 0.99) AS p99 "
+            "FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        "text_quantile_filter": (
+            "SELECT d.doc_id, d.lang, d.n_chars "
+            "FROM documents d JOIN ("
+            "  SELECT lang, quantile_cont(n_chars, 0.9) AS cut "
+            "  FROM documents GROUP BY lang) c ON d.lang = c.lang "
+            "WHERE d.n_chars >= c.cut"
         ),
     }
