@@ -562,6 +562,32 @@ def q_text_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over a deterministic synthetic link graph on the
+    documents table (doc i links to (3i+1) mod N, (7i+2) mod N, and
+    floor(i/2); docs with doc_id % 17 == 0 are dangling).  Iterative
+    float fixpoint — no SQL oracle (rows-only driver check); numpy
+    power-iteration parity is pinned in tests/test_graph.py."""
+    from ..ops.graph import pagerank
+
+    ids = _docs(spark, sf_dir).select("doc_id")
+    n = ids.count()
+    edges = (
+        ids.filter(F.col("doc_id") % 17 != 0)
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.array(
+                    (F.col("doc_id") * 3 + 1) % n,
+                    (F.col("doc_id") * 7 + 2) % n,
+                    F.floor(F.col("doc_id") / 2),
+                )
+            ).alias("dst"),
+        )
+    )
+    return pagerank(edges, n_iter=20).withColumnRenamed("node", "doc_id")
+
+
 def queries() -> dict:
     from ..ops import html, lines, pii, urls
 
@@ -629,6 +655,9 @@ def queries() -> dict:
         "stream_first_per_source": q_stream_first_per_source,
         "text_length_quantiles": q_text_length_quantiles,
         "text_quantile_filter": q_text_quantile_filter,
+        # no oracle_sql entry: iterative float fixpoint -> rows-only
+        # driver check; numpy parity in tests/test_graph.py
+        "graph_pagerank": q_graph_pagerank,
     }
 
 
