@@ -562,6 +562,22 @@ def q_text_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing offsets: per source shard, each doc's
+    start offset in the concatenated (tokens + 1 EOS) stream and the
+    512-token sequence indexes it spans — the integer window math a
+    distributed sequence writer needs (`ops/packing.py`)."""
+    from ..ops.packing import pack_sequences
+    from ..ops.textstats import _toks
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(_toks(F.col("text"))).cast("long").alias("ws_tokens"),
+    )
+    return pack_sequences(docs, seq_len=512, sep_tokens=1)
+
+
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over a deterministic synthetic link graph on the
     documents table (doc i links to (3i+1) mod N, (7i+2) mod N, and
@@ -658,11 +674,12 @@ def queries() -> dict:
         # no oracle_sql entry: iterative float fixpoint -> rows-only
         # driver check; numpy parity in tests/test_graph.py
         "graph_pagerank": q_graph_pagerank,
+        "pack_sequences": q_pack_sequences,
     }
 
 
 def oracle_sql() -> dict:
-    from ..ops import html, lines, pii, urls
+    from ..ops import html, lines, packing, pii, urls
 
     return {
         "url_canonical_dedup": url_dedup_oracle_sql(),
@@ -720,5 +737,8 @@ def oracle_sql() -> dict:
             "  SELECT lang, quantile_cont(n_chars, 0.9) AS cut "
             "  FROM documents GROUP BY lang) c ON d.lang = c.lang "
             "WHERE d.n_chars >= c.cut"
+        ),
+        "pack_sequences": packing.pack_sequences_sql(
+            "documents", seq_len=512, sep_tokens=1
         ),
     }
