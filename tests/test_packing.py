@@ -72,3 +72,49 @@ def test_boundary_cases(spark):
     assert got.first_seq.tolist() == [0, 1, 1, 3]
     assert got.last_seq.tolist() == [0, 1, 3, 3]
     assert got.n_seqs.tolist() == [1, 1, 3, 1]
+
+
+class TestSampleTokenBudget:
+    """Token-budget mixing sampler: fill rule, overshoot bound,
+    determinism."""
+
+    @pytest.fixture(scope="class")
+    def sampled(self, spark):
+        from vyperdatum_spark.ops.textstats import sample_token_budget
+
+        rng = np.random.default_rng(9)
+        n = 300
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype=np.int64),
+                "source": rng.choice(["a", "b", "c"], n),
+                "ws_tokens": rng.integers(1, 120, n).astype(np.int64),
+            }
+        )
+        got = sample_token_budget(
+            spark.createDataFrame(df), budget=1000
+        ).toPandas()
+        return df, got
+
+    def test_budget_fill_rule(self, sampled):
+        df, got = sampled
+        for s, g in got.groupby("source"):
+            # every kept row started strictly inside the budget...
+            assert (g.taken_before < 1000).all()
+            # ...and the kept set is a prefix of the hash order: total
+            # overshoot is at most the last doc
+            assert g.ws_tokens.sum() < 1000 + g.ws_tokens.max()
+            # nothing MORE could have been taken: the kept tokens plus
+            # any one excluded doc would cross the budget
+            excluded = df[(df.source == s) & ~df.doc_id.isin(g.doc_id)]
+            if len(excluded):
+                assert g.ws_tokens.sum() + 0 >= 1000 - excluded.ws_tokens.max()
+
+    def test_deterministic_rerun(self, spark, sampled):
+        from vyperdatum_spark.ops.textstats import sample_token_budget
+
+        df, got = sampled
+        again = sample_token_budget(
+            spark.createDataFrame(df), budget=1000
+        ).toPandas()
+        assert sorted(got.doc_id) == sorted(again.doc_id)

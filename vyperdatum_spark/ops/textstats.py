@@ -9,7 +9,7 @@ no Python UDFs — with exact DuckDB oracle equivalents.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import hash60, hash60_sql
@@ -489,6 +489,56 @@ def sample_stratified_sql(table: str = "documents", id_col: str = "doc_id",
         f"SELECT * FROM (SELECT *, "
         f"(CAST({h} AS DOUBLE) / {_U_SCALE!r}) AS sample_u FROM {table}) "
         f"WHERE sample_u < CASE {lang_col} {whens} ELSE 1.0 END"
+    )
+
+
+def sample_token_budget(df: DataFrame, budget: int,
+                        id_col: str = "doc_id",
+                        tokens_col: str = "ws_tokens",
+                        group_col: str = "source",
+                        seed: str = "s42") -> DataFrame:
+    """Data-mixing by token budget: fill each group's budget in
+    deterministic hash order (u = hash60(seed||id)), keeping rows
+    while the cumulative token count BEFORE the row is < budget —
+    so each group overshoots by at most one document (the standard
+    fill rule).  This is the mixture-weights primitive of corpus
+    assembly ("B tokens of source X, C of source Y"): rerun- and
+    engine-portable like sample_stratified, one window shuffle on the
+    group key, and composes with pack_sequences downstream."""
+    u = hash60(
+        F.concat(F.lit(seed), F.col(id_col).cast("string"))
+    ) / F.lit(_U_SCALE)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("sample_u", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.withColumn("sample_u", u)
+        .withColumn(
+            "taken_before",
+            F.coalesce(F.sum(tokens_col).over(w), F.lit(0)).cast("long"),
+        )
+        .filter(F.col("taken_before") < budget)
+    )
+
+
+def sample_token_budget_sql(table: str, budget: int,
+                            id_col: str = "doc_id",
+                            tokens_expr: str =
+                            "CAST(len(string_split(text, ' ')) AS BIGINT)",
+                            group_col: str = "source",
+                            seed: str = "s42") -> str:
+    h = hash60_sql(f"'{seed}' || CAST({id_col} AS VARCHAR)")
+    return (
+        f"SELECT * FROM ("
+        f"  SELECT *, CAST(COALESCE(SUM(ws_tokens) OVER ("
+        f"    PARTITION BY {group_col} ORDER BY sample_u, {id_col} "
+        f"    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)"
+        f"  AS taken_before FROM ("
+        f"    SELECT *, {tokens_expr} AS ws_tokens, "
+        f"    (CAST({h} AS DOUBLE) / {_U_SCALE!r}) AS sample_u FROM {table})) "
+        f"WHERE taken_before < {budget}"
     )
 
 

@@ -578,6 +578,22 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, seq_len=512, sep_tokens=1)
 
 
+def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing: fill a 500-token budget per source in
+    deterministic hash order (`ops/textstats.sample_token_budget`) —
+    rerun/engine-portable, overshoot ≤ 1 doc per group."""
+    from ..ops.textstats import _toks, sample_token_budget
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(_toks(F.col("text"))).cast("long").alias("ws_tokens"),
+    )
+    return sample_token_budget(docs, budget=500).select(
+        "doc_id", "source", "ws_tokens", "taken_before"
+    )
+
+
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over a deterministic synthetic link graph on the
     documents table (doc i links to (3i+1) mod N, (7i+2) mod N, and
@@ -675,6 +691,7 @@ def queries() -> dict:
         # driver check; numpy parity in tests/test_graph.py
         "graph_pagerank": q_graph_pagerank,
         "pack_sequences": q_pack_sequences,
+        "sample_token_budget": q_sample_token_budget,
     }
 
 
@@ -740,5 +757,10 @@ def oracle_sql() -> dict:
         ),
         "pack_sequences": packing.pack_sequences_sql(
             "documents", seq_len=512, sep_tokens=1
+        ),
+        "sample_token_budget": (
+            "SELECT doc_id, source, ws_tokens, taken_before FROM ("
+            + textstats.sample_token_budget_sql("documents", budget=500)
+            + ") t"
         ),
     }
