@@ -158,3 +158,19 @@ class TestZOrder:
         assert z_total == 8 and h_total == 8
         assert h_hits == 8           # hash layout: every file spans extent
         assert z_hits <= 3, z_hits   # z-order layout: bbox prunes to a few
+
+
+def test_cell_rollup_levels_consistent(spark):
+    """Hierarchical rollup invariants on the real query: every level
+    conserves total count/sum, each child's parent exists at the next
+    level, and the finest level equals a direct groupBy."""
+    from vyperdatum_spark.queries.geo import q_geo_cell_rollup
+
+    got = q_geo_cell_rollup(spark, "/root/testdata/sf0.001").toPandas()
+    by_res = {r: g for r, g in got.groupby("res")}
+    assert set(by_res) == {cells.FINE_RES, cells.FINE_RES - 1, cells.FINE_RES - 2}
+    n_total = {r: g.n_points.sum() for r, g in by_res.items()}
+    assert len(set(n_total.values())) == 1, n_total
+    for r in (cells.FINE_RES, cells.FINE_RES - 1):
+        parents = {cells.parent(int(c), r - 1) for c in by_res[r].cell}
+        assert parents == set(int(c) for c in by_res[r - 1].cell)

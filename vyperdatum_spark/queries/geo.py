@@ -182,6 +182,62 @@ def q_geo_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geo_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (hypertable-style) cell rollup: per-cell point
+    count + depth sum at resolutions 9 → 8 → 7 (the sampled-path
+    index resolution and two parents), where each coarser
+    level is RE-AGGREGATED from the finer level's partials via the
+    integer parent() bit math — one scan of the data total, then two
+    tiny aggregations over ~|cells| rows, instead of three scans.
+    This is the mergeable-rollup shape a 10^12-point depth table
+    needs (the res-9 agg is the only data-scale shuffle; level sizes
+    shrink 4× per step).  The DuckDB oracle computes every level
+    DIRECTLY from raw points, so the gate simultaneously proves the
+    parent derivation and the re-aggregation are exact."""
+    pts = derived_points(spark, sf_dir)
+    base = pts.select(
+        cells.encode_col(F.col("x"), F.col("y"), cells.FINE_RES).alias("cell"),
+        "z",
+    ).filter(F.col("cell") >= 0)
+    l9 = base.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_points"), F.sum("z").alias("_s")
+    )
+
+    def up(df: DataFrame, res: int) -> DataFrame:
+        return (
+            df.select(
+                cells.parent_col(F.col("cell"), res, res - 1).alias("cell"),
+                "n_points",
+                "_s",
+            )
+            .groupBy("cell")
+            .agg(F.sum("n_points").alias("n_points"), F.sum("_s").alias("_s"))
+        )
+
+    l8 = up(l9, cells.FINE_RES)
+    l7 = up(l8, cells.FINE_RES - 1)
+    out = (
+        l9.withColumn("res", F.lit(cells.FINE_RES))
+        .unionByName(l8.withColumn("res", F.lit(cells.FINE_RES - 1)))
+        .unionByName(l7.withColumn("res", F.lit(cells.FINE_RES - 2)))
+    )
+    return out.select(
+        "res", "cell", "n_points", F.round(F.col("_s"), 2).alias("sum_z")
+    )
+
+
+def geo_cell_rollup_sql() -> str:
+    lvl = []
+    for res in (cells.FINE_RES, cells.FINE_RES - 1, cells.FINE_RES - 2):
+        c = cells.encode_sql("x", "y", res)
+        lvl.append(
+            f"SELECT {res} AS res, {c} AS cell, "
+            f"CAST(COUNT(*) AS BIGINT) AS n_points, "
+            f"ROUND(SUM(z), 2) AS sum_z FROM pts GROUP BY {c}"
+        )
+    return _pts_cte() + " " + " UNION ALL ".join(lvl)
+
+
 def q_geo_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (Z-order) clustering key per point at both index
     resolutions — the storage-layout twin of geo_tile_assign (same
@@ -914,6 +970,7 @@ def queries() -> dict:
     return {
         "geo_extent": q_geo_extent,
         "geo_tile_assign": q_geo_tile_assign,
+        "geo_cell_rollup": q_geo_cell_rollup,
         "geo_zorder_key": q_geo_zorder_key,
         "geo_transform_mllw": _transform_query("mllw"),
         "geo_transform_mhw": _transform_query("mhw"),
@@ -962,6 +1019,7 @@ def oracle_sql() -> dict:
         "geo_tile_assign": (
             f"{_pts_cte()} SELECT pid, {cell5} AS cell5, {cell9} AS cell9 FROM pts"
         ),
+        "geo_cell_rollup": geo_cell_rollup_sql(),
         "geo_zorder_key": (
             f"{_pts_cte()} SELECT pid, "
             f"{zorder_mod.morton_from_lonlat_sql('x', 'y', cells.COARSE_RES)} AS z5, "
