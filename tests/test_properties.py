@@ -106,3 +106,49 @@ def test_axis_flips_match_is_height(a, b):
     fin, fout = pl.axis_flips(a, b)
     assert fin == (1.0 if pl.is_height(a) else -1.0)
     assert fout == (1.0 if pl.is_height(b) else -1.0)
+
+
+# ------------------------------------------------------------------
+# lemmas behind ops/ranges.py and ops/asof.py (pure-python mirrors of
+# the Spark expressions — no Spark per example)
+# ------------------------------------------------------------------
+
+TS = st.floats(min_value=0.0, max_value=3.0e9, allow_nan=False)
+BUCKET = st.sampled_from([1, 60, 3600, 86400, 604800])
+
+
+@settings(max_examples=500)
+@given(TS, TS, TS, BUCKET)
+def test_range_bucket_coverage_lemma(s, length_seed, p_seed, B):
+    """No (point, interval) pair can be missed by the bucketed
+    rewrite: if s <= p < e then bucket(p) lies within the replica
+    range [bucket(s), bucket(e)] — including the unix_timestamp
+    truncation-to-seconds subtlety (`ops/ranges.py` end-bucket
+    comment)."""
+    e = s + (length_seed % 1.0e6)  # interval up to ~11 days
+    p = s + (p_seed % 1.0e6)
+    if not (s <= p < e):
+        return
+    # Spark's unix_timestamp truncates to whole seconds
+    bucket = lambda t: int(t) // B
+    assert bucket(s) <= bucket(p) <= bucket(e)
+
+
+@settings(max_examples=500)
+@given(
+    st.lists(
+        st.tuples(TS, st.integers(min_value=0, max_value=10**6)),
+        min_size=0, max_size=30,
+    ),
+    TS,
+)
+def test_asof_carry_ordering_lemma(right_rows, left_t):
+    """The union-and-carry pick — last right row in (t asc, tie asc)
+    order among rows with t <= left_t — equals the brute-force argmax
+    over (t, tie), which is what the row_number oracle computes."""
+    elig = [(t, tie) for t, tie in right_rows if t <= left_t]
+    carried = None
+    for t, tie in sorted(elig):  # window order: t asc, tie asc
+        carried = (t, tie)  # last non-null wins
+    expected = max(elig) if elig else None
+    assert carried == expected
