@@ -61,6 +61,9 @@ HEADLINE = [
     "curation_end_to_end",
     "dedup_cluster_canonical",
     "rel_events_asof",
+    "rel_events_range_join",
+    "pack_sequences",
+    "geo_cell_rollup",
 ]
 
 BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "32000000"))
