@@ -19,6 +19,10 @@ comment), reporting rows/s at both and the scaling efficiency
 
 Dedup-pipeline variant: --dedup-scale (writes BENCH/DEDUP.md).
 One-level child (peak-throughput runs): --scaling-child <pages> <N>.
+As-of join skew comparison (BENCH/ASOF.md protocol):
+    python bench.py --asof-skew [hot_frac]
+plants a hot key holding hot_frac (default 0.9) of both sides and
+times plain vs bucketed asof_join with checksum-verified equality.
 """
 
 from __future__ import annotations
@@ -607,6 +611,69 @@ def run_curation_scaling(pairs: int = 3) -> dict:
     return report
 
 
+def asof_skew(hot_frac: float = 0.9, n_left: int = 4_000_000,
+              n_right: int = 400_000, reps: int = 3) -> dict:
+    """BENCH/ASOF.md protocol: planted hot key at ``hot_frac`` of both
+    sides, plain vs bucketed as-of join, checksum-verified equal."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from vyperdatum_spark.ops.asof import asof_join, asof_join_bucketed
+    from vyperdatum_spark.session import get_spark
+
+    spark = get_spark(
+        cores=int(os.environ.get("SPARK_GRAFT_CPUS", "8")),
+        extra_conf={"spark.sql.shuffle.partitions": "16",
+                    "spark.ui.showConsoleProgress": "false"},
+    )
+
+    def mk(n, seed):
+        rng = np.random.default_rng(seed)
+        k = rng.integers(1, 2000, n)
+        k[rng.random(n) < hot_frac] = 0
+        t = rng.integers(0, 90 * 86400, n)
+        return k.astype(np.int64), t.astype(np.int64)
+
+    lk, lt = mk(n_left, 1)
+    rk, rt = mk(n_right, 2)
+    rng = np.random.default_rng(3)
+    left = spark.createDataFrame(pd.DataFrame(
+        {"lid": np.arange(n_left, dtype=np.int64), "k": lk, "t": lt}
+    )).withColumn("t", F.timestamp_seconds(F.col("t"))).localCheckpoint()
+    right = spark.createDataFrame(pd.DataFrame(
+        {"k": rk, "t": rt, "rid": np.arange(n_right, dtype=np.int64),
+         "val": np.round(rng.uniform(0, 1, n_right), 3)}
+    )).withColumn("t", F.timestamp_seconds(F.col("t"))).localCheckpoint()
+
+    kw = dict(left_on="k", right_on="k", left_time="t", right_time="t",
+              payload=["rid", "val"], tie="rid")
+
+    def timed(fn):
+        fn().count()  # warm-up
+        best = None
+        for _ in range(reps):
+            t0 = time.time()
+            chk = fn().agg(
+                F.count(F.lit(1)),
+                F.sum(F.coalesce(F.col("asof_rid"), F.lit(0))),
+            ).collect()[0]
+            dt = time.time() - t0
+            if best is None or dt < best[0]:
+                best = (dt, tuple(chk))
+        return best
+
+    p = timed(lambda: asof_join(left, right, **kw))
+    b = timed(lambda: asof_join_bucketed(left, right,
+                                         bucket_seconds=86400, **kw))
+    assert p[1] == b[1], f"checksum mismatch: {p[1]} vs {b[1]}"
+    return {
+        "hot_frac": hot_frac, "n_left": n_left, "n_right": n_right,
+        "plain_sec": round(p[0], 2), "bucketed_sec": round(b[0], 2),
+        "speedup": round(p[0] / b[0], 2), "checksum": list(p[1]),
+    }
+
+
 def _run_child_generic(path: str, cores: int, flag: str) -> dict:
     cmd = [sys.executable, os.path.abspath(__file__), flag, path, str(cores)]
     out = subprocess.run(
@@ -633,6 +700,10 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--curation-scale":
         print(json.dumps({"metric": "curation-scaling",
                           **run_curation_scaling()}))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--asof-skew":
+        hot = float(sys.argv[2]) if len(sys.argv) > 2 else 0.9
+        print(json.dumps({"metric": "asof-skew", **asof_skew(hot)}))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         report = run_scaling()
