@@ -233,6 +233,49 @@ def test_decontaminate_flags_benchmark_overlap(spark):
     assert got.loc[5, "n_sh"] == 0 and pd.isna(got.loc[5, "contamination"])
 
 
+def test_decontaminate_bloom_equals_exact(spark):
+    """The bloom-prefiltered path must be byte-identical to the exact
+    semi-join on every edge case (no false negatives + exact verify),
+    including at a deliberately tiny m where false positives are
+    common — the verify stage must absorb them."""
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 59}" for j in range(12)), "en")
+        for i in range(200)
+    ] + [(900, "ab", "en"), (901, "", "en")]  # unshingleable docs
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    bench = docs.filter(F.col("doc_id") % 5 == 0)
+    exact = dedup.decontaminate(corpus, bench).orderBy("doc_id").collect()
+    for m_bits in (1 << 8, 1 << 17):  # tiny bloom → many false positives
+        got = (
+            dedup.decontaminate_bloom(corpus, bench, m_bits=m_bits)
+            .orderBy("doc_id").collect()
+        )
+        assert got == exact
+
+
+def test_decontaminate_bloom_prefilter_actually_filters(spark):
+    """At a well-sized m the bloom must pass only ~true hits + fpp
+    into the verify join: candidate shingles (non-null join keys)
+    stay close to the true hit count, far below the corpus total."""
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"c{i}x{j}" for j in range(20)), "en")
+         for i in range(300)],
+        "doc_id long, text string, lang string",
+    )
+    bench = spark.createDataFrame(
+        [(0, " ".join(f"c7x{j}" for j in range(20)), "en")],
+        "doc_id long, text string, lang string",
+    )
+    got = (
+        dedup.decontaminate_bloom(corpus, bench, m_bits=1 << 17)
+        .toPandas().set_index("doc_id")
+    )
+    # only doc 7 overlaps the benchmark; everything else must be 0
+    assert got.loc[7, "contamination"] == 1.0
+    assert (got.drop(index=7)["n_hit"] == 0).all()
+
+
 def test_sample_stratified_deterministic_and_rated(spark):
     rows = [(i, f"text {i}", ["en", "de", "fr"][i % 3]) for i in range(3000)]
     df = spark.createDataFrame(rows, "doc_id long, text string, lang string")

@@ -468,6 +468,123 @@ def decontaminate_sql(corpus: str, benchmark: str,
     )
 
 
+def decontaminate_bloom(corpus: DataFrame, benchmark: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        w: int = SHINGLE_W, m_bits: int = 1 << 17,
+                        k: int = 3) -> DataFrame:
+    """Bloom-prefiltered decontamination: identical output to
+    :func:`decontaminate` (exact n_sh/n_hit/contamination), but the
+    benchmark membership test is staged as bloom-prefilter → exact
+    verify, the architecture modern curation pipelines (Dolma-style
+    bloom dedup/decontamination) use when the eval n-gram set is too
+    large to broadcast as a raw hash table.
+
+    Scale shape (the reason this exists at 100 TB):
+      1. The benchmark shingle hashes are folded into an m-bit bloom
+         bitset REPRESENTED AS A DATAFRAME of (word_idx, 64-bit word):
+         k probe positions per hash (double hashing: h1 + i*h2 mod m),
+         one hash-shuffle on word_idx with map-side bit_or partials.
+         The bitset dim has ≤ m/64 rows (m=2^27 → 2 M rows = 16 MB)
+         regardless of benchmark size — ~64× smaller than broadcasting
+         10^8 raw 8-byte hashes with hash-table overhead.
+      2. Corpus shingles probe the bitset via k BROADCAST equi-joins
+         (one per probe position) — zero shuffles, pure JVM bitwise
+         column math; a shingle is a candidate iff all k bits are set.
+      3. Exact verify: only candidate shingles carry a non-null join
+         key into the semi-join with the true benchmark hash set, so
+         the expensive membership join touches ~fpp·|corpus shingles|
+         rows instead of all of them, and AQE is free to pick a
+         shuffle join when the benchmark side is broadcast-too-big.
+         Bloom filters have no false negatives, so the final counts
+         are exact — the oracle is decontaminate_sql, unchanged.
+
+    All bloom math is deterministic builtin column expressions
+    (md5-derived h1, xxhash64-derived h2); no Python crosses the
+    executor boundary.
+    """
+    def _hashed_shingles(df: DataFrame, keep_id: bool) -> DataFrame:
+        cols = [F.col(id_col)] if keep_id else []
+        return (
+            shingled_df(df, id_col, text_col, w)
+            .select(*cols, F.explode_outer(F.col("_sh")).alias("_raw"))
+            .filter(F.col("_raw").isNotNull())
+            .select(*cols, hash60(F.col("_raw")).alias("_s"))
+            .distinct()
+        )
+
+    def _probe_positions(s: Column) -> list[Column]:
+        # double hashing: h1 from the md5-derived 60-bit value itself,
+        # h2 from an independent xxhash64 re-mix; i*h2 stays < k*m so
+        # the sum never overflows under ANSI arithmetic
+        h1 = F.pmod(s, F.lit(m_bits).cast("long"))
+        h2 = F.pmod(F.xxhash64(s), F.lit(m_bits).cast("long")) + F.lit(1)
+        return [F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits).cast("long"))
+                for i in range(k)]
+
+    bench_sh = _hashed_shingles(benchmark, keep_id=False)
+
+    # 1. fold the benchmark hashes into the (word_idx, bits) bloom dim
+    bloom = (
+        bench_sh
+        .select(F.explode(F.array(*_probe_positions(F.col("_s")))).alias("_p"))
+        .select(
+            F.shiftrightunsigned(F.col("_p"), 6).alias("_w"),
+            F.expr("shiftleft(1L, CAST(_p & 63 AS INT))").alias("_m"),
+        )
+        .groupBy("_w")
+        .agg(F.expr("bit_or(_m)").alias("_bits"))
+    )
+
+    corp = _hashed_shingles(corpus, keep_id=True)
+    probes = _probe_positions(F.col("_s"))
+    staged = corp.select(
+        F.col(id_col), F.col("_s"),
+        *[p.alias(f"_p{i}") for i, p in enumerate(probes)],
+    ).select(
+        "*",
+        *[F.shiftrightunsigned(F.col(f"_p{i}"), 6).alias(f"_pw{i}")
+          for i in range(k)],
+    )
+    cand = F.lit(True)
+    for i in range(k):
+        bi = bloom.select(F.col("_w").alias(f"_pw{i}"),
+                          F.col("_bits").alias(f"_b{i}"))
+        staged = staged.join(F.broadcast(bi), f"_pw{i}", "left")
+        hit_i = F.expr(
+            f"(_b{i} & shiftleft(1L, CAST(_p{i} & 63 AS INT))) != 0"
+        )
+        cand = cand & F.coalesce(hit_i, F.lit(False))
+
+    # 3. exact verify in ONE pass over the staged rows: bloom-rejected
+    # shingles carry a NULL join key (null never matches an equi-join)
+    # so only the ~fpp-sized candidate subset participates in the
+    # membership join, while every row still reaches the count
+    probed = staged.select(
+        F.col(id_col),
+        F.when(cand, F.col("_s")).alias("_sj"),
+    )
+    agg = (
+        probed.join(
+            bench_sh.select(F.col("_s").alias("_sj"),
+                            F.lit(1).alias("_hit")),
+            "_sj", "left")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("_t"), F.count("_hit").alias("_h"))
+    )
+    out = corpus.select(F.col(id_col)).join(agg, id_col, "left")
+    n_sh = F.coalesce(F.col("_t"), F.lit(0)).cast("long")
+    n_hit = F.coalesce(F.col("_h"), F.lit(0)).cast("long")
+    contamination = F.when(
+        n_sh > 0, n_hit.cast("double") / n_sh.cast("double")
+    )
+    return out.select(
+        F.col(id_col),
+        n_sh.alias("n_sh"),
+        n_hit.alias("n_hit"),
+        contamination.alias("contamination"),
+    )
+
+
 # ------------------------------------------------------ n-gram jaccard
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", lang_col: str = "lang",

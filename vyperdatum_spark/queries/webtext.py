@@ -680,6 +680,14 @@ def queries() -> dict:
             _docs(s, d).filter(F.col("doc_id") % 97 != 0),
             _docs(s, d).filter(F.col("doc_id") % 97 == 0),
         ),
+        # bloom-prefiltered variant: identical exact output (bloom has
+        # no false negatives; survivors are exact-verified), same
+        # oracle — the scale path when the eval n-gram set is too big
+        # to broadcast raw
+        "decontaminate_bloom": lambda s, d: dedup.decontaminate_bloom(
+            _docs(s, d).filter(F.col("doc_id") % 97 != 0),
+            _docs(s, d).filter(F.col("doc_id") % 97 == 0),
+        ),
         "sample_stratified": lambda s, d: textstats.sample_stratified(
             _docs(s, d)
         ),
@@ -732,6 +740,10 @@ def oracle_sql() -> dict:
         "doc_fingerprint": textstats.fingerprint_sql(),
         "multimodal_meta": multimodal_meta_sql(),
         "decontaminate": dedup.decontaminate_sql(
+            corpus="(SELECT * FROM documents WHERE doc_id % 97 <> 0)",
+            benchmark="(SELECT * FROM documents WHERE doc_id % 97 = 0)",
+        ),
+        "decontaminate_bloom": dedup.decontaminate_sql(
             corpus="(SELECT * FROM documents WHERE doc_id % 97 <> 0)",
             benchmark="(SELECT * FROM documents WHERE doc_id % 97 = 0)",
         ),
