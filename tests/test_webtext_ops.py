@@ -122,6 +122,35 @@ def test_cosine_matches_numpy(spark):
     assert np.isclose(got, exp, atol=1e-12)
 
 
+def test_semantic_dedup_matches_numpy(spark):
+    """SemDeDup keep/drop verdicts replicated with a numpy oracle:
+    nearest-centroid assignment + within-cell lower-id cosine rule."""
+    rng = np.random.default_rng(21)
+    vecs = rng.standard_normal((60, similarity.EMB_DIM)).astype(np.float32)
+    vecs[45] = vecs[12]  # planted exact duplicate: same cell, 45 drops
+    df = spark.createDataFrame(
+        [(int(i), v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = (
+        similarity.semantic_dedup(df, threshold=0.3)
+        .toPandas().set_index("vec_id").sort_index()
+    )
+    vd = vecs.astype(np.float64)
+    norms = np.linalg.norm(vd, axis=1)
+    cents = similarity.CENTROIDS.astype(np.float64)
+    cnorms = np.linalg.norm(cents, axis=1)
+    cells = np.argmax((vd @ cents.T) / np.outer(norms, cnorms), axis=1) + 1
+    assert list(got["cell"]) == list(cells)
+    cos = np.round(vd @ vd.T / np.outer(norms, norms), 6)
+    for i in range(len(vecs)):
+        exp_keep = not any(
+            cells[j] == cells[i] and cos[j, i] >= 0.3 for j in range(i)
+        )
+        assert bool(got.loc[i, "keep"]) == exp_keep, i
+    assert not got.loc[45, "keep"] and got.loc[12, "keep"]
+
+
 def test_ann_bruteforce_topk_is_exact(spark):
     rng = np.random.default_rng(9)
     vecs = rng.standard_normal((30, 8)).astype(np.float32)

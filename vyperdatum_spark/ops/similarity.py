@@ -430,3 +430,91 @@ def cosine_dup_pairs_sql(table: str = "embeddings", id_col: str = "vec_id",
         f"FROM a JOIN b USING ({label_col}) WHERE vec_a < vec_b "
         f"AND ROUND({cos}, 6) >= {threshold!r}"
     )
+
+
+# ---------------------------------------------------- semantic dedup
+def _cell_assign(df: DataFrame, id_col: str, emb_col: str) -> DataFrame:
+    """(id, emb, nrm, cell): nearest-centroid assignment, one codegen
+    pass of literal column math (shared by IVF ANN and SemDeDup)."""
+    nrm = norm_col(F.col(emb_col))
+    return df.select(
+        F.col(id_col), F.col(emb_col), nrm.alias("nrm"),
+        centroid_cos_array_col(F.col(emb_col), nrm).alias("_ca"),
+    ).select(
+        id_col, emb_col, "nrm",
+        F.array_position(F.col("_ca"), F.array_max(F.col("_ca")))
+        .cast("int").alias("cell"),
+    )
+
+
+def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
+                   emb_col: str = "embedding",
+                   threshold: float = 0.3) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): embeddings are clustered by nearest centroid,
+    and within each cluster a vector is DROPPED iff some lower-id
+    vector in the same cluster has cosine similarity >= threshold
+    (cosine rounded to 6 dp so both engines agree bit-for-bit).
+
+    Scale shape: the centroid assignment is one whole-stage-codegen
+    pass; the only join is the within-cell self-join — the cells are
+    the blocking key, so the pair space is sum(|cell|²), never n².
+    At 100 TB the control knob is N_CENTROIDS (the paper uses ~11k
+    clusters for 5B embeddings); skewed cells are split by raising
+    it, exactly like IVF list sizing. Drop decisions against
+    lower-id-in-cell (not against the transitively-kept set) keep the
+    rule one anti-join instead of an iterative fixpoint — the
+    standard practical relaxation.
+
+    Output: (id, cell, keep) for every input row — an auditable
+    keep/drop verdict, not just the survivor list.
+    """
+    base = _cell_assign(df, id_col, emb_col)
+    a = base.select(
+        F.col("cell"),
+        F.col(id_col).alias("_ia"), F.col(emb_col).alias("_ea"),
+        F.col("nrm").alias("_na"),
+    )
+    b = base.select(
+        F.col("cell"),
+        F.col(id_col).alias("_ib"), F.col(emb_col).alias("_eb"),
+        F.col("nrm").alias("_nb"),
+    )
+    cos = F.round(
+        dot_col(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb")),
+        6,
+    )
+    drops = (
+        a.join(b, "cell")
+        .filter(F.col("_ia") < F.col("_ib"))
+        .filter(cos >= threshold)
+        .select(F.col("_ib").alias(id_col))
+        .distinct()
+        .withColumn("_drop", F.lit(1))
+    )
+    return (
+        base.join(drops, id_col, "left")
+        .select(
+            F.col(id_col), F.col("cell"),
+            F.col("_drop").isNull().alias("keep"),
+        )
+    )
+
+
+def semantic_dedup_sql(table: str = "embeddings", id_col: str = "vec_id",
+                       emb_col: str = "embedding",
+                       threshold: float = 0.3) -> str:
+    nrm = f"sqrt({dot_sql(emb_col, emb_col)})"
+    ca = centroid_cos_array_sql(emb_col, nrm)
+    cos = cosine_sql("a._ea", "b._eb")
+    return (
+        f"WITH base AS (SELECT {id_col}, {emb_col}, "
+        f"CAST(list_position({ca}, list_max({ca})) AS INT) AS cell "
+        f"FROM {table}), "
+        f"a AS (SELECT cell, {id_col} AS _ia, {emb_col} AS _ea FROM base), "
+        f"b AS (SELECT cell, {id_col} AS _ib, {emb_col} AS _eb FROM base), "
+        f"drops AS (SELECT DISTINCT _ib FROM a JOIN b USING (cell) "
+        f"WHERE _ia < _ib AND ROUND({cos}, 6) >= {threshold!r}) "
+        f"SELECT {id_col}, cell, (_ib IS NULL) AS keep "
+        f"FROM base LEFT JOIN drops ON {id_col} = _ib"
+    )

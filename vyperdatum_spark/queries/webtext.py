@@ -659,6 +659,9 @@ def queries() -> dict:
         "dedup_embedding_cosine": lambda s, d: similarity.cosine_dup_pairs(
             _embs(s, d), threshold=0.35
         ),
+        # SemDeDup (arXiv:2303.09540): centroid-blocked semantic dedup
+        # with an auditable per-row keep/drop verdict
+        "dedup_semantic": lambda s, d: similarity.semantic_dedup(_embs(s, d)),
         "ann_bruteforce_topk": lambda s, d: similarity.ann_bruteforce_topk(
             _embs(s, d)
         ),
@@ -728,6 +731,7 @@ def oracle_sql() -> dict:
         "dedup_cluster_canonical": dedup.cluster_canonical_sql(
             table=DUPS_SQL, threshold=0.5),
         "dedup_embedding_cosine": similarity.cosine_dup_pairs_sql(threshold=0.35),
+        "dedup_semantic": similarity.semantic_dedup_sql(),
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk_sql(),
         "ann_lsh_topk": similarity.ann_lsh_topk_sql(),
         "ann_lsh_multi_topk": similarity.ann_lsh_multi_topk_sql(),
