@@ -68,6 +68,8 @@ HEADLINE = [
     "rel_events_range_join",
     "pack_sequences",
     "geo_cell_rollup",
+    "decontaminate_bloom",
+    "dedup_semantic",
 ]
 
 BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "32000000"))

@@ -116,6 +116,33 @@ def test_remove_common_lines_below_threshold_survives(spark):
     assert got.loc[1, "clean_text"] == "shared\nb"
 
 
+def test_dedup_paragraphs_keepfirst_semantics(spark):
+    """Keep-FIRST exact dedup (arXiv:2107.06499): a repeated line
+    survives only at its earliest (doc_id, pos); in-doc repeats also
+    collapse to the first; unique lines untouched."""
+    bp = "all rights reserved"
+    rows = [
+        (0, f"alpha\n{bp}\nbeta"),
+        (1, f"{bp}\ngamma"),
+        (2, f"delta\n{bp}"),
+        (3, f"{bp}"),                # duplicate-only doc -> empty
+        (4, "epsilon\nzeta"),        # untouched
+        (5, "twice\nother\ntwice"),  # in-doc repeat keeps the first
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    got = (
+        lines.dedup_paragraphs_keepfirst(spark.createDataFrame(pdf))
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert got.loc[0, "clean_text"] == f"alpha\n{bp}\nbeta"  # first copy kept
+    assert got.loc[1, "clean_text"] == "gamma"
+    assert got.loc[2, "clean_text"] == "delta"
+    assert got.loc[3, "clean_text"] == "" and got.loc[3, "n_parts_kept"] == 0
+    assert got.loc[4, "clean_text"] == "epsilon\nzeta"
+    assert got.loc[5, "clean_text"] == "twice\nother"
+    assert got.loc[5, "n_parts_in"] == 3 and got.loc[5, "n_parts_kept"] == 2
+
+
 # ------------------------------------------------------------------ pii
 def test_pii_redaction_goldens(spark):
     pdf = pd.DataFrame({

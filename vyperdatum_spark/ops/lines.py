@@ -95,3 +95,82 @@ def remove_common_lines_sql(table: str = "documents",
         "CAST(COALESCE(r.n_lines_kept, 0) AS BIGINT) AS n_lines_kept "
         f"FROM {table} t LEFT JOIN _re r USING ({id_col})"
     )
+
+
+# --------------------------------------- keep-first paragraph dedup
+def dedup_paragraphs_keepfirst(df: DataFrame, id_col: str = "doc_id",
+                               text_col: str = "text",
+                               sep: str = SEP) -> DataFrame:
+    """Exact substring dedup at paragraph granularity (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): every repeated paragraph keeps exactly its
+    FIRST occurrence corpus-wide (ordered by doc id, then position)
+    and later copies are removed — unlike ``remove_common_lines``,
+    which deletes boilerplate from ALL documents including the first.
+
+    Scale shape: posexplode (no shuffle) → ONE hash shuffle on the
+    paragraph key for the first-occurrence window (row_number) →
+    one doc_id shuffle to reassemble. The window partitions by
+    paragraph text, so hot boilerplate paragraphs are the skew risk;
+    at 100 TB partition instead by a 64-bit paragraph hash and, for
+    pathological heavy hitters, pre-aggregate the per-(paragraph,
+    doc) min position map-side — the rule only needs the global
+    minimum, which is associative.
+
+    Output: (id, clean_text, n_parts_in, n_parts_kept).
+    """
+    from pyspark.sql import Window
+
+    parts = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_part"),
+    )
+    w = Window.partitionBy("_part").orderBy(F.col(id_col), F.col("_pos"))
+    kept = (
+        parts.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_part"))),
+                lambda s: s["_part"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count("*").alias("n_parts_kept"),
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), sep)).cast("long")
+        .alias("n_parts_in"),
+    )
+    return totals.join(reassembled, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.col("n_parts_in"),
+        F.coalesce(F.col("n_parts_kept"), F.lit(0)).cast("long")
+        .alias("n_parts_kept"),
+    )
+
+
+def dedup_paragraphs_keepfirst_sql(table: str = "documents",
+                                   id_col: str = "doc_id",
+                                   text_col: str = "text") -> str:
+    """DuckDB twin (sep fixed to newline: chr(10))."""
+    return (
+        f"WITH _ps AS (SELECT {id_col}, i AS pos, ps[i] AS part FROM "
+        f"(SELECT {id_col}, string_split({text_col}, chr(10)) AS ps "
+        f"FROM {table}) "
+        "CROSS JOIN unnest(generate_series(1, len(ps))) AS s(i)), "
+        "_rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY part "
+        f"ORDER BY {id_col}, pos) AS rk FROM _ps), "
+        f"_re AS (SELECT {id_col}, "
+        "string_agg(part, chr(10) ORDER BY pos) AS clean_text, "
+        f"COUNT(*) AS n_parts_kept FROM _rk WHERE rk = 1 GROUP BY {id_col}) "
+        f"SELECT t.{id_col}, COALESCE(r.clean_text, '') AS clean_text, "
+        f"CAST(len(string_split(t.{text_col}, chr(10))) AS BIGINT) "
+        "AS n_parts_in, "
+        "CAST(COALESCE(r.n_parts_kept, 0) AS BIGINT) AS n_parts_kept "
+        f"FROM {table} t LEFT JOIN _re r USING ({id_col})"
+    )

@@ -630,6 +630,11 @@ def queries() -> dict:
         ),
         "html_extract_text": lambda s, d: html.extract_text(_pages(s, d)),
         "line_dedup": lambda s, d: lines.remove_common_lines(_ml_docs(s, d)),
+        # keep-FIRST exact substring dedup (arXiv:2107.06499) — the
+        # boilerplate lines survive exactly once, in the lowest doc
+        "dedup_paragraphs": lambda s, d: lines.dedup_paragraphs_keepfirst(
+            _ml_docs(s, d)
+        ),
         "pii_redact": lambda s, d: pii.pii_redact(_pii_docs(s, d)),
         "text_repetition": lambda s, d: textstats.repetition_df(_docs(s, d)),
         "curation_policy": lambda s, d: textstats.curation_policy_df(
@@ -714,6 +719,9 @@ def oracle_sql() -> dict:
         "url_latest_capture": urls.latest_capture_sql(_DOC_URLS_TS_SQL),
         "html_extract_text": html.extract_text_sql(f"({_PAGES_SQL})"),
         "line_dedup": lines.remove_common_lines_sql(f"({_ML_DOCS_SQL})"),
+        "dedup_paragraphs": lines.dedup_paragraphs_keepfirst_sql(
+            f"({_ML_DOCS_SQL})"
+        ),
         "pii_redact": pii.pii_redact_sql(f"({_PII_DOCS_SQL})"),
         "text_repetition": textstats.repetition_sql(),
         "curation_policy": textstats.curation_policy_sql(
