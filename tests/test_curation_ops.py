@@ -116,6 +116,27 @@ def test_remove_common_lines_below_threshold_survives(spark):
     assert got.loc[1, "clean_text"] == "shared\nb"
 
 
+def test_composed_chains_compile_under_codegen_limits(spark):
+    """Regression guard for the janino 64 KB method limit: with
+    codegen fallback DISABLED, a stage that fails to compile raises
+    instead of silently running interpreted. The curation chain used
+    to blow the limit because the pushed-down gopher filter duplicated
+    the whole HTML-extraction expression; the explode(array(...))
+    Generate barrier keeps it generated once."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries_extended()
+    old = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        for name in ("curation_end_to_end", "pipeline_end_to_end",
+                     "html_extract_text"):
+            qs[name](spark, "/root/testdata/sf0.001") \
+                .write.format("noop").mode("overwrite").save()
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", old)
+
+
 def test_dedup_paragraphs_keepfirst_semantics(spark):
     """Keep-FIRST exact dedup (arXiv:2107.06499): a repeated line
     survives only at its earliest (doc_id, pos); in-doc repeats also

@@ -476,9 +476,18 @@ def q_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(_page_html_col("text"), "UTF-8").alias("html"),
     )
     canon = urls.canonical_url_df(pages, extra_cols=["warc_ts", "html"])
+    # 1-element explode = a Generate barrier: the optimizer cannot
+    # push the gopher filter through a Generate, so the huge HTML
+    # extraction chain is code-generated exactly ONCE instead of being
+    # duplicated into the pushed-down Filter — the duplicated copy
+    # blew janino's 64 KB method limit and silently disabled
+    # whole-stage codegen for the entire fused stage (same defect
+    # class as the round-4 kNN argmin fix)
     ext = canon.select(
         "doc_id", "warc_ts", "canonical_url",
-        html_ops.extract_text_col(F.col("html")).alias("text_out"),
+        F.explode(
+            F.array(html_ops.extract_text_col(F.col("html")))
+        ).alias("text_out"),
     )
     red = pii_ops.pii_annotate(ext, "text_out")
     rep = ts.repetition_cols(F.col("clean_text"))
@@ -488,8 +497,11 @@ def q_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     # latest capture per canonical key, directly on the already-
     # canonical column (same map-combining max-struct shape as
     # urls.latest_capture, minus the redundant re-canonicalization)
+    # built from canon, not ext: this branch never needs the HTML
+    # extraction, and keeping it upstream of the Generate barrier lets
+    # column pruning drop html from the aggregate's scan entirely
     latest_ids = (
-        ext.groupBy("canonical_url")
+        canon.groupBy("canonical_url")
         .agg(F.max(F.struct("warc_ts", "doc_id")).alias("_b"))
         .select(F.col("_b.doc_id").alias("doc_id"))
     )
