@@ -10,6 +10,7 @@ Usage: python tools/check_oracles.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import duckdb
@@ -55,7 +56,14 @@ def main():
     import __spark_entry__ as entry
     from vyperdatum_spark.session import get_spark
 
-    spark = get_spark(cores=8, extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark = get_spark(cores=8, extra_conf={
+        "spark.ui.showConsoleProgress": "false",
+        # strict: a stage that blows janino's 64 KB method limit FAILS
+        # the gate instead of silently running interpreted (set
+        # SPARK_GRAFT_LAX_CODEGEN=1 to restore the default fallback)
+        "spark.sql.codegen.fallback":
+            "true" if os.environ.get("SPARK_GRAFT_LAX_CODEGEN") else "false",
+    })
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
