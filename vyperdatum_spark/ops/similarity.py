@@ -53,6 +53,17 @@ def norm_col(a: Column) -> Column:
     return F.sqrt(dot_col(a, a))
 
 
+def norm_spark_sql(a: str) -> str:
+    """Spark-SQL text that parses to exactly ``norm_col(F.col(a))``:
+    same zip_with/aggregate catalyst ops, same 0.0 double seed, same
+    left-to-right accumulation — bit-identical results."""
+    return (
+        f"sqrt(aggregate(zip_with({a}, {a}, "
+        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"0.0D, (acc, v) -> acc + v))"
+    )
+
+
 def cosine_col(a: Column, b: Column) -> Column:
     return dot_col(a, b) / (norm_col(a) * norm_col(b))
 
@@ -286,15 +297,53 @@ CENTROIDS = _centroids()
 CENTROID_NORMS = [float(np.sqrt((c * c).sum())) for c in CENTROIDS]
 
 
-def centroid_cos_array_col(emb: Column, nrm: Column) -> Column:
-    """array<double> of cosine(emb, centroid_i) — literal column math."""
+_CA_CACHE: dict = {}
+
+
+def centroid_cos_array_col(emb: str, nrm: str) -> Column:
+    """array<double> of cosine(emb, centroid_i) — literal column math.
+
+    Takes SQL FRAGMENT STRINGS (a column name, or the full norm
+    expression from ``norm_spark_sql``). Driver-cost engineering
+    (measured at dim=64, 16 centroids): building the tree
+    term-by-term with Column operators costs ~3 py4j round-trips per
+    term (~14 s); parsing the whole array as ONE F.expr string makes
+    ANTLR the bottleneck (~20 s on the 46 KB expression). Sixteen
+    per-centroid F.expr parses (~3 KB each) cost well under a second,
+    and the finished Column is memoized per JVM so repeated query
+    builds in the same driver pay nothing. Literals carry the D
+    suffix (Spark parses bare decimals as DECIMAL) and centroid
+    weights are fixed-point formatted (they are round(6) values), so
+    the doubles match the F.lit construction bit-for-bit.
+
+    Callers must pass the norm INLINE (``norm_spark_sql(emb)``), not
+    a staged column name: staging the norm in its own projection
+    stops CollapseProject from folding it, and the resulting extra
+    Project chain fuses into the downstream window-sort's
+    ``addToSorter`` codegen past janino's 64 KB method limit (the
+    strict ``codegen.fallback=false`` gate raises). Inlined, the
+    plan keeps the single-projection shape whole-stage codegen
+    compiles, and runtime subexpression elimination shares the 16
+    sqrt-dot copies anyway."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    key = (emb, nrm, id(sc) if sc is not None else None)
+    hit = _CA_CACHE.get(key)
+    if hit is not None:
+        return hit
     cols = []
     for i, cent in enumerate(CENTROIDS):
-        dot = F.lit(0.0)
-        for j, wgt in enumerate(cent):
-            dot = dot + F.lit(float(wgt)) * F.element_at(emb, j + 1).cast("double")
-        cols.append(dot / (nrm * F.lit(CENTROID_NORMS[i])))
-    return F.array(*cols)
+        dot = " + ".join(
+            f"{float(w):.6f}D * CAST(element_at({emb}, {j + 1}) AS DOUBLE)"
+            for j, w in enumerate(cent)
+        )
+        cols.append(F.expr(f"(0.0D + {dot}) / ({nrm} * {CENTROID_NORMS[i]!r}D)"))
+    out = F.array(*cols)
+    for k in [k for k in _CA_CACHE if k[2] != key[2]]:
+        del _CA_CACHE[k]  # drop Columns bound to a previous JVM
+    _CA_CACHE[key] = out
+    return out
 
 
 def centroid_cos_array_sql(emb: str, nrm: str) -> str:
@@ -320,10 +369,10 @@ def ann_ivf_topk(df: DataFrame, id_col: str = "vec_id",
     (centroid_id) equi-join — candidates per query ≈ nprobe/C of the
     corpus, never all-pairs; raising nprobe trades cost for recall.
     """
-    nrm = norm_col(F.col(emb_col))
     base = df.select(
-        F.col(id_col), F.col(emb_col), nrm.alias("nrm"),
-        centroid_cos_array_col(F.col(emb_col), nrm).alias("_ca"),
+        F.col(id_col), F.col(emb_col),
+        norm_col(F.col(emb_col)).alias("nrm"),
+        centroid_cos_array_col(emb_col, norm_spark_sql(emb_col)).alias("_ca"),
     ).select(
         id_col, emb_col, "nrm", "_ca",
         F.array_position(F.col("_ca"), F.array_max(F.col("_ca")))
@@ -435,11 +484,14 @@ def cosine_dup_pairs_sql(table: str = "embeddings", id_col: str = "vec_id",
 # ---------------------------------------------------- semantic dedup
 def _cell_assign(df: DataFrame, id_col: str, emb_col: str) -> DataFrame:
     """(id, emb, nrm, cell): nearest-centroid assignment, one codegen
-    pass of literal column math (shared by IVF ANN and SemDeDup)."""
-    nrm = norm_col(F.col(emb_col))
+    pass of literal column math (shared by IVF ANN and SemDeDup).
+    The norm is INLINED into each cosine slot (see
+    centroid_cos_array_col's codegen note); runtime subexpression
+    elimination shares the copies."""
     return df.select(
-        F.col(id_col), F.col(emb_col), nrm.alias("nrm"),
-        centroid_cos_array_col(F.col(emb_col), nrm).alias("_ca"),
+        F.col(id_col), F.col(emb_col),
+        norm_col(F.col(emb_col)).alias("nrm"),
+        centroid_cos_array_col(emb_col, norm_spark_sql(emb_col)).alias("_ca"),
     ).select(
         id_col, emb_col, "nrm",
         F.array_position(F.col("_ca"), F.array_max(F.col("_ca")))
@@ -468,8 +520,16 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
 
     Output: (id, cell, keep) for every input row — an auditable
     keep/drop verdict, not just the survivor list.
+
+    Plan note: the assignment is materialized through ONE explicit
+    repartition(cell) exchange so BOTH self-join sides read the same
+    shuffle via ReusedExchange instead of each re-scanning the table
+    and re-evaluating the 16×dim-literal argmax (3 scans → 2 in the
+    physical plan). The remaining scan is the verdict join-back,
+    which column-pruning reduces to (id, cell) — at petabyte scale
+    persist the assignment explicitly if even that pass matters.
     """
-    base = _cell_assign(df, id_col, emb_col)
+    base = _cell_assign(df, id_col, emb_col).repartition(F.col("cell"))
     a = base.select(
         F.col("cell"),
         F.col(id_col).alias("_ia"), F.col(emb_col).alias("_ea"),
