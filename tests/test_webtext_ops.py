@@ -515,3 +515,72 @@ def test_incremental_dedup_across_crawls_exactly_once(spark, tmp_path):
     r3 = incremental_exact_dedup(spark, src, out)
     assert r3["skipped"]
     assert tables.read_table(spark, out).count() == 3
+
+
+def test_lm_score_matches_python(spark):
+    """Corpus-MLE bigram likelihood, independently recomputed."""
+    from collections import Counter
+
+    got = (
+        textstats.lm_score_df(_docs_df(spark))
+        .toPandas().set_index("doc_id")
+    )
+    c2: Counter = Counter()
+    c1: Counter = Counter()
+    grams_by_doc = {}
+    for doc_id, text, _ in DOCS:
+        toks = text.split(" ")
+        gs = [(toks[i], toks[i + 1]) for i in range(len(toks) - 1)]
+        grams_by_doc[doc_id] = gs
+        for g in gs:
+            c2[g] += 1
+            c1[g[0]] += 1
+    for doc_id, gs in grams_by_doc.items():
+        assert got.loc[doc_id, "n_bigrams"] == len(gs)
+        if not gs:
+            assert pd.isna(got.loc[doc_id, "avg_cond_p"])
+            continue
+        ps = sorted(round(c2[g] / c1[g[0]], 9) for g in gs)
+        exp = sum(ps) / len(ps)
+        # the engine rounds the mean to 6 dp (oracle-portability);
+        # allow exactly that quantum
+        assert abs(got.loc[doc_id, "avg_cond_p"] - exp) <= 5.001e-7
+    # the exact-duplicate docs 0 and 3 score identically; doc 1's
+    # rarer continuation of a shared context (lazy->cat 1/3 vs
+    # lazy->dog 2/3) is penalized relative to doc 0; and a doc whose
+    # contexts are all corpus-singletons degenerates to exactly 1.0
+    # under pure MLE (see lm_score_df docstring)
+    assert got.loc[0, "avg_cond_p"] == got.loc[3, "avg_cond_p"]
+    assert got.loc[1, "avg_cond_p"] < got.loc[0, "avg_cond_p"]
+    assert got.loc[2, "avg_cond_p"] == 1.0
+
+
+def test_dup_substring_spans_fixture(spark):
+    """k=8 spans on DOCS: docs 0/3 are identical (9 tokens -> both
+    8-gram positions duplicated -> one merged span over the whole
+    doc); doc 1 shares only the pos-1 8-gram (last token differs);
+    docs 2/4/5 are under 8 tokens."""
+    got = textstats.dup_substring_spans(_docs_df(spark)).toPandas()
+    rows = {
+        (r.doc_id, r.span_start, r.span_end, r.n_grams)
+        for r in got.itertuples()
+    }
+    assert rows == {(0, 1, 9, 2), (3, 1, 9, 2), (1, 1, 8, 1)}
+
+
+def test_dup_substring_spans_within_doc_and_gap(spark):
+    """A doc repeating its own 8-token prefix after a >k gap yields
+    TWO islands in one doc (within-doc duplication counts, and
+    non-overlapping hits do not merge)."""
+    a = " ".join(f"a{i}" for i in range(8))
+    filler = " ".join(f"f{i}" for i in range(9))
+    df = spark.createDataFrame(
+        [(0, f"{a} {filler} {a}", "en")],
+        "doc_id long, text string, lang string",
+    )
+    got = textstats.dup_substring_spans(df).toPandas()
+    rows = {
+        (r.doc_id, r.span_start, r.span_end, r.n_grams)
+        for r in got.itertuples()
+    }
+    assert rows == {(0, 1, 8, 1), (0, 18, 25, 1)}

@@ -606,3 +606,212 @@ def curation_policy_sql(table: str = "documents", id_col: str = "doc_id",
         f"COALESCE(list_aggregate({failed}, 'string_agg', ','), '') AS reasons "
         f"FROM {table}"
     )
+
+
+# ----------------------------------------- corpus-trained LM quality
+# CCNet (Wenzek et al. 2020, arXiv:1911.00359) ranks documents by LM
+# fit; the LM here is a word-bigram model TRAINED ON THE CORPUS
+# ITSELF in the same job (two aggregations), so the score is fully
+# deterministic and needs no external model file. The score is the
+# arithmetic-mean conditional likelihood avg P(w_i | w_{i-1}) under
+# the corpus MLE — a portable surrogate for perplexity: the log
+# variant needs ln(), whose last-ulp rounding differs between JVM
+# Math.log and C libm, so it cannot pass a bit-exact cross-engine
+# gate. Semantics of in-corpus MLE (vs CCNet's external smoothed LM):
+# a doc is penalized for taking RARE continuations of SHARED contexts
+# (lazy->cat scores 1/3 when lazy->dog holds 2/3 of the mass), while
+# a doc whose contexts are corpus-singletons degenerates to exactly
+# 1.0 — so the score ranks typicality among overlapping-vocabulary
+# docs; at web scale (every context shared) that is all docs. A
+# production deployment swaps the in-job counts for a reference-
+# corpus count table; the plan shape is identical.
+def lm_score_df(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(id, n_bigrams, avg_cond_p): mean corpus-MLE conditional
+    bigram probability per document.
+
+    Scale shape: ONE explode of bigram positions feeds (a) the
+    bigram-count agg, (b) the context-count agg, and (c) the per-doc
+    score join — three hash shuffles total, all with map-side partial
+    aggregation. The probability dim is vocab-bounded (distinct
+    bigrams), broadcastable in practice at 100 TB; the per-doc sum
+    folds a sorted array left-to-right so Spark and DuckDB agree
+    bit-for-bit regardless of join/aggregation order."""
+    toks = _toks(F.col(text_col))
+    n_pos = F.size(toks) - 1
+    grams = F.transform(
+        F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos))
+        .otherwise(F.array().cast("array<int>")),
+        lambda i: F.array_join(F.slice(toks, i, 2), " "),
+    )
+    # explode_outer + filter: the inner-explode codegen path
+    # re-evaluates its input per OUTPUT element (O(n^2) per doc)
+    ex = (
+        df.select(F.col(id_col), F.explode_outer(grams).alias("gram"))
+        .filter(F.col("gram").isNotNull())
+        .select(
+            id_col, "gram",
+            F.substring_index(F.col("gram"), " ", 1).alias("_w1"),
+        )
+    )
+    c2 = ex.groupBy("gram", "_w1").agg(F.count("*").alias("_c2"))
+    c1 = ex.groupBy("_w1").agg(F.count("*").alias("_c1"))
+    # ROUND(9) before the fold: the division is correctly-rounded
+    # IEEE on both engines, rounding pins the summands exactly
+    probs = c2.join(c1, "_w1").select(
+        "gram",
+        F.round(
+            F.col("_c2").cast("double") / F.col("_c1").cast("double"), 9
+        ).alias("_p"),
+    )
+    per_doc = (
+        ex.join(probs, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.aggregate(
+                    F.sort_array(F.collect_list("_p")),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ) / F.count("*"),
+                6,
+            ).alias("avg_cond_p"),
+        )
+    )
+    return df.select(F.col(id_col)).join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long")
+        .alias("n_bigrams"),
+        F.col("avg_cond_p"),
+    )
+
+
+def lm_score_sql(table: str = "documents", id_col: str = "doc_id",
+                 text_col: str = "text") -> str:
+    toks = f"string_split({text_col}, ' ')"
+    grams = (
+        f"list_transform(generate_series(1, len({toks}) - 1), "
+        f"i -> array_to_string({toks}[i : i + 1], ' '))"
+    )
+    return (
+        f"WITH _ex AS (SELECT {id_col}, gram, split_part(gram, ' ', 1) AS w1 "
+        f"FROM (SELECT {id_col}, unnest({grams}) AS gram FROM {table})), "
+        "_c2 AS (SELECT gram, w1, COUNT(*) AS c2 FROM _ex GROUP BY gram, w1), "
+        "_c1 AS (SELECT w1, COUNT(*) AS c1 FROM _ex GROUP BY w1), "
+        "_p AS (SELECT gram, ROUND(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE), 9) AS p "
+        "FROM _c2 JOIN _c1 USING (w1)), "
+        f"_doc AS (SELECT {id_col}, COUNT(*) AS n_bigrams, "
+        "ROUND((0.0 + list_reduce(list_sort(list(p)), (x, y) -> x + y)) "
+        "/ COUNT(*), 6) AS avg_cond_p "
+        f"FROM _ex JOIN _p USING (gram) GROUP BY {id_col}) "
+        f"SELECT d.{id_col}, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams, "
+        f"avg_cond_p FROM {table} d LEFT JOIN _doc USING ({id_col})"
+    )
+
+
+# -------------------------------------- duplicate-substring spans
+# Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+# Better", arXiv:2107.06499) remove substrings of >=50 BPE tokens
+# that occur more than once in the corpus, found via suffix arrays.
+# This is the k-gram-granularity distributed equivalent: every
+# duplicated token run of length >= DUP_K is found (a run of length
+# L >= DUP_K contains L-DUP_K+1 duplicated k-grams, all of which
+# collide by hash), and overlapping/adjacent duplicated k-gram
+# intervals are merged into maximal spans per document.
+DUP_K = 8
+
+
+def dup_substring_spans(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        k: int = DUP_K) -> DataFrame:
+    """(id, span_start, span_end, n_grams): maximal token spans whose
+    every k-gram occurs more than once in the corpus (1-based,
+    inclusive token positions).
+
+    Scale shape: one k-gram explode (corpus-token scale) -> ONE hash
+    agg for duplicated-hash discovery (map-side combine; the HAVING
+    prunes to the duplicated minority) -> a semi join of positions
+    against that set (broadcastable: duplicated k-grams are the small
+    side in a deduplicated corpus) -> per-doc window + island agg,
+    which reuse one (id) shuffle. No Python, no all-pairs."""
+    toks = _toks(F.col(text_col))
+    n_pos = F.size(toks) - (k - 1)
+    grams = F.transform(
+        F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos))
+        .otherwise(F.array().cast("array<int>")),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+    ex = (
+        df.select(
+            F.col(id_col),
+            F.posexplode_outer(grams).alias("_p0", "_g"),
+        )
+        .filter(F.col("_g").isNotNull())
+        .select(
+            id_col,
+            (F.col("_p0") + 1).alias("pos"),
+            hash60(F.col("_g")).alias("_h"),
+        )
+    )
+    dup = (
+        ex.groupBy("_h").agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select("_h")
+    )
+    hits = ex.join(dup, "_h").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    # interval [pos, pos+k-1]: merge when the next start is within k
+    # of the previous (overlap or exact adjacency)
+    marked = hits.select(
+        F.col(id_col), F.col("pos"),
+        F.when(F.col("pos") > F.lag("pos").over(w) + k, F.lit(1))
+        .otherwise(F.lit(0)).alias("_brk"),
+    )
+    isl = marked.select(
+        F.col(id_col), F.col("pos"),
+        F.sum("_brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("_isl"),
+    )
+    return (
+        isl.groupBy(id_col, "_isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (k - 1)).alias("span_end"),
+            F.count("*").cast("long").alias("n_grams"),
+        )
+        .select(id_col, "span_start", "span_end", "n_grams")
+    )
+
+
+def dup_substring_spans_sql(table: str = "documents",
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            k: int = DUP_K) -> str:
+    toks = f"string_split({text_col}, ' ')"
+    n_pos = f"(len({toks}) - {k - 1})"
+    grams = (
+        f"list_transform(generate_series(1, {n_pos}), "
+        f"j -> array_to_string({toks}[j : j + {k - 1}], ' '))"
+    )
+    return (
+        f"WITH _ex AS (SELECT {id_col}, u.i AS pos, "
+        f"{hash60_sql('u.g')} AS h "
+        f"FROM {table}, LATERAL (SELECT unnest({grams}) AS g, "
+        f"unnest(generate_series(1, {n_pos})) AS i) u), "
+        "_dup AS (SELECT h FROM _ex GROUP BY h HAVING COUNT(*) > 1), "
+        f"_hits AS (SELECT {id_col}, pos FROM _ex "
+        "WHERE h IN (SELECT h FROM _dup)), "
+        f"_mark AS (SELECT {id_col}, pos, CASE WHEN pos > "
+        f"LAG(pos) OVER (PARTITION BY {id_col} ORDER BY pos) + {k} "
+        "THEN 1 ELSE 0 END AS brk FROM _hits), "
+        f"_isl AS (SELECT {id_col}, pos, SUM(brk) "
+        f"OVER (PARTITION BY {id_col} ORDER BY pos "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl "
+        "FROM _mark) "
+        f"SELECT {id_col}, MIN(pos) AS span_start, "
+        f"MAX(pos) + {k - 1} AS span_end, "
+        "CAST(COUNT(*) AS BIGINT) AS n_grams "
+        f"FROM _isl GROUP BY {id_col}, isl"
+    )

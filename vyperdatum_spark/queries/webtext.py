@@ -694,6 +694,14 @@ def queries() -> dict:
         ),
         "text_token_counts": lambda s, d: textstats.token_counts_df(_docs(s, d)),
         "text_top_ngrams": lambda s, d: textstats.top_ngrams(_docs(s, d)),
+        # CCNet-style LM quality: word-bigram model trained on the
+        # corpus itself in-job, mean conditional likelihood per doc
+        "text_lm_score": lambda s, d: textstats.lm_score_df(_docs(s, d)),
+        # Lee et al. 2022 duplicate-substring removal at k-gram
+        # granularity: maximal cross-corpus duplicated token spans
+        "dedup_substring_spans": lambda s, d: textstats.dup_substring_spans(
+            _docs(s, d)
+        ),
         "doc_fingerprint": lambda s, d: textstats.fingerprint_df(_docs(s, d)),
         "multimodal_meta": q_multimodal_meta,
         "decontaminate": lambda s, d: dedup.decontaminate(
@@ -761,6 +769,8 @@ def oracle_sql() -> dict:
         "text_langid_trigram": textstats.langid_trigram_sql(),
         "text_token_counts": textstats.token_counts_sql(),
         "text_top_ngrams": textstats.top_ngrams_sql(),
+        "text_lm_score": textstats.lm_score_sql(),
+        "dedup_substring_spans": textstats.dup_substring_spans_sql(),
         "doc_fingerprint": textstats.fingerprint_sql(),
         "multimodal_meta": multimodal_meta_sql(),
         "decontaminate": dedup.decontaminate_sql(
