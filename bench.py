@@ -70,6 +70,8 @@ HEADLINE = [
     "geo_cell_rollup",
     "decontaminate_bloom",
     "dedup_semantic",
+    "text_lm_score",
+    "dedup_substring_spans",
 ]
 
 BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "32000000"))

