@@ -72,6 +72,8 @@ HEADLINE = [
     "dedup_semantic",
     "text_lm_score",
     "dedup_substring_spans",
+    "emb_kmeans",
+    "text_bm25_topk",
 ]
 
 BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "32000000"))

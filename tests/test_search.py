@@ -1,0 +1,94 @@
+"""BM25 search: oracle parity, hand-computed scores on a tiny corpus,
+ranking invariants, and the one-scan plan shape."""
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+from vyperdatum_spark.ops import search as S
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_matches_oracle(spark, docs):
+    out = (
+        S.bm25_topk(docs)
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    oracle = con.execute(S.bm25_topk_sql()).df()
+    pd.testing.assert_frame_equal(out, oracle, check_dtype=False)
+
+
+def test_hand_computed_scores(spark):
+    """3-doc corpus, single-term query — BM25 closed form by hand."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["cat dog", "cat cat cat fish", "bird bird"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = (
+        S.bm25_topk(df, queries=[(1, ["cat"])])
+        .toPandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    n, dfreq = 3, 2
+    avgdl = (2 + 4 + 2) / 3
+    idf = math.log((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+
+    def bm25(tf, dl):
+        return idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+
+    # doc 2: tf=3, dl=4; doc 1: tf=1, dl=2; doc 3 unmatched
+    assert out["doc_id"].tolist() == [2, 1]
+    assert out.loc[0, "score"] == pytest.approx(bm25(3, 4), abs=1e-6)
+    assert out.loc[1, "score"] == pytest.approx(bm25(1, 2), abs=1e-6)
+
+
+def test_rank_invariants(spark, docs):
+    out = S.bm25_topk(docs).toPandas()
+    for qid, grp in out.groupby("qid"):
+        g = grp.sort_values("rank")
+        assert g["rank"].tolist() == list(range(1, len(g) + 1))
+        assert (g["score"].diff().dropna() <= 0).all()
+        assert len(g) <= S.TOP_K
+
+
+def test_rarer_term_scores_higher_idf(spark):
+    """A term present in 1 of 20 docs must outrank (same tf/dl) a term
+    present in 19 of 20."""
+    rows = [(i, "common filler" if i else "rareword filler")
+            for i in range(20)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    out = S.bm25_topk(
+        df, queries=[(1, ["rareword"]), (2, ["common"])]
+    ).toPandas()
+    rare = out[out.qid == 1]["score"].max()
+    common = out[out.qid == 2]["score"].max()
+    assert rare > common
+
+
+def test_single_scan_plan(spark, docs):
+    """All queries are scored in ONE pass: exactly one parquet scan in
+    the physical plan (candidate generation is scan-side column math,
+    not a per-query union of scans)."""
+    out = S.bm25_topk(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1

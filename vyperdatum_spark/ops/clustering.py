@@ -1,0 +1,173 @@
+"""Distributed k-means (Lloyd's) over an embedding column.
+
+Closes the honest gap in ``ops/similarity.py``: the IVF index there
+partitions by *seeded* centroids ("a production IVF trains these with
+k-means"); this module IS that trainer, expressed Spark-first:
+
+- **assignment** is pure literal column math — the k centroids are
+  baked as literal arrays, squared-L2 distance per centroid is a
+  ``zip_with``/``aggregate`` fold (same bit-exact discipline as
+  ``similarity.dot_col``), argmin is ``array_position(arr,
+  array_min(arr))`` (first match ⇒ lowest cluster wins ties).  Zero
+  shuffle, zero Python, whole-stage codegen.
+- **update** is one map-side-combined partial aggregation per
+  iteration (``groupBy(cluster).agg(avg(dim_i) …)``) — each executor
+  emits k×dim partial sums, the driver collects k tiny rows and bakes
+  the ROUNDED means (6 dp) as the next iteration's literals.  At
+  10^12 rows this is the canonical scale shape: per-iteration cost is
+  one scan + a k×dim-wide combine; nothing grows with n on the driver.
+- **determinism**: seeds are the k vectors with the smallest
+  ``md5(cast(id as string))`` (portable to the DuckDB oracle), means
+  are rounded to a 1e-6 grid before re-broadcast so both engines
+  iterate from bit-identical centroid literals, and every distance is
+  a left-to-right double fold — the final assignment is hash-exact
+  against an unrolled-CTE SQL oracle.
+
+Empty-cluster rule: a cluster that captures no points keeps its
+previous centroid (COALESCE in the oracle's update CTE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EMB_DIM = 64
+K_CLUSTERS = 8
+N_ITERS = 3
+
+
+def sqdist_col(emb: Column, cent: list[float]) -> Column:
+    """Squared L2 distance to a literal centroid: zip_with squared
+    diffs, left-to-right fold from 0.0 (bit-identical to the oracle's
+    ``0.0 + list_reduce(list_transform(...), +)``)."""
+    arr = F.array(*[F.lit(float(c)) for c in cent])
+    diffs = F.zip_with(
+        emb, arr,
+        lambda e, c: (e.cast("double") - c) * (e.cast("double") - c),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _assign_cols(emb: Column, cents: list[list[float]]) -> tuple[Column, Column]:
+    """(cluster, sqdist) vs the literal centroid list.  array_position
+    returns the FIRST index holding the min ⇒ ties break to the lowest
+    cluster id, matching the oracle's ORDER BY dist, cluster."""
+    dists = F.array(*[sqdist_col(emb, c) for c in cents])
+    mind = F.array_min(dists)
+    return F.array_position(dists, mind).cast("int"), mind
+
+
+def seed_centroids(df: DataFrame, k: int, id_col: str,
+                   emb_col: str) -> list[list[float]]:
+    """The k vectors with the smallest md5(cast(id as string)) — a
+    deterministic, data-independent sample (same device as the
+    repo's stratified sampler), portable to SQL verbatim."""
+    rows = (
+        df.select(id_col, emb_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    return [[float(v) for v in r[emb_col]] for r in rows]
+
+
+def kmeans_train(df: DataFrame, k: int = K_CLUSTERS, iters: int = N_ITERS,
+                 id_col: str = "vec_id", emb_col: str = "embedding",
+                 dim: int = EMB_DIM) -> list[list[float]]:
+    """Lloyd's iterations; returns the trained centroid list (each a
+    dim-long list of doubles rounded to 6 dp, except iteration-0 seeds
+    which are the raw vectors).  ``iters`` assignments are implied;
+    only ``iters - 1`` mean-updates run (the final assignment is the
+    caller's, e.g. ``kmeans_assign``)."""
+    cents = seed_centroids(df, k, id_col, emb_col)
+    emb = F.col(emb_col)
+    for _ in range(iters - 1):
+        cluster, _d = _assign_cols(emb, cents)
+        means = (
+            df.select(cluster.alias("cluster"), emb.alias("e"))
+            .groupBy("cluster")
+            .agg(*[
+                F.round(F.avg(F.element_at(F.col("e"), i).cast("double")), 6)
+                .alias(f"m{i}")
+                for i in range(1, dim + 1)
+            ])
+            .collect()
+        )
+        nxt = [list(c) for c in cents]  # empty cluster keeps previous
+        for r in means:
+            nxt[r["cluster"] - 1] = [float(r[f"m{i}"])
+                                     for i in range(1, dim + 1)]
+        cents = nxt
+    return cents
+
+
+def kmeans_assign(df: DataFrame, k: int = K_CLUSTERS, iters: int = N_ITERS,
+                  id_col: str = "vec_id", emb_col: str = "embedding",
+                  dim: int = EMB_DIM) -> DataFrame:
+    """Train, then return the final assignment — (id, cluster, dist)
+    with dist = round(sqrt(squared-L2), 6).  The returned plan is pure
+    literal column math over one scan (0 shuffles, codegen); training
+    cost is ``iters - 1`` tiny map-side-combined aggregations."""
+    cents = kmeans_train(df, k=k, iters=iters, id_col=id_col,
+                         emb_col=emb_col, dim=dim)
+    cluster, sqd = _assign_cols(F.col(emb_col), cents)
+    return df.select(
+        F.col(id_col),
+        cluster.alias("cluster"),
+        F.round(F.sqrt(sqd), 6).alias("dist"),
+    )
+
+
+def kmeans_assign_sql(table: str = "embeddings", k: int = K_CLUSTERS,
+                      iters: int = N_ITERS, id_col: str = "vec_id",
+                      emb_col: str = "embedding",
+                      dim: int = EMB_DIM) -> str:
+    """Unrolled-CTE DuckDB oracle: seeds → (assign → update) × (iters-1)
+    → final assign.  Every float op mirrors the Spark side bit-for-bit
+    (see module docstring); means are rounded to the same 1e-6 grid
+    before feeding the next iteration."""
+    md5_id = f"md5(CAST({id_col} AS VARCHAR))"
+
+    def dist(e: str, c: str) -> str:
+        term = (f"(CAST({e}[i] AS DOUBLE) - {c}[i]) * "
+                f"(CAST({e}[i] AS DOUBLE) - {c}[i])")
+        return (f"(0.0 + list_reduce(list_transform("
+                f"generate_series(1, {dim}), i -> {term}), "
+                f"(x, y) -> x + y))")
+
+    mean_list = ", ".join(
+        f"round(avg(CAST(e[{i}] AS DOUBLE)), 6)" for i in range(1, dim + 1)
+    )
+    d = dist("e", "cent")
+    parts = [
+        f"emb AS (SELECT {id_col} AS vid, {emb_col} AS e FROM {table})",
+        (f"seeds AS (SELECT vid, e FROM emb "
+         f"ORDER BY md5(CAST(vid AS VARCHAR)), vid LIMIT {k})"),
+        (f"c0 AS (SELECT CAST(row_number() OVER "
+         f"(ORDER BY md5(CAST(vid AS VARCHAR)), vid) AS INT) AS cluster, "
+         f"list_transform(generate_series(1, {dim}), "
+         f"i -> CAST(e[i] AS DOUBLE)) AS cent FROM seeds)"),
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"a{t} AS (SELECT vid, e, cluster, dist FROM ("
+            f"SELECT p.vid, p.e, c.cluster, {d} AS dist, "
+            f"row_number() OVER (PARTITION BY p.vid "
+            f"ORDER BY {d}, c.cluster) AS rn "
+            f"FROM emb p CROSS JOIN c{t - 1} c) WHERE rn = 1)"
+        )
+        if t < iters:
+            parts.append(
+                f"m{t} AS (SELECT cluster, [{mean_list}] AS cent "
+                f"FROM a{t} GROUP BY cluster)"
+            )
+            parts.append(
+                f"c{t} AS (SELECT p.cluster, coalesce(m.cent, p.cent) AS cent "
+                f"FROM c{t - 1} p LEFT JOIN m{t} m USING (cluster))"
+            )
+    return (
+        "WITH " + ", ".join(parts) +
+        f" SELECT vid AS {id_col}, cluster, round(sqrt(dist), 6) AS dist "
+        f"FROM a{iters} ORDER BY {id_col}"
+    )

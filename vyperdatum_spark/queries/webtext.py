@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..ops import dedup, similarity, textstats
+from ..ops import clustering, dedup, search, similarity, textstats
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -687,6 +687,12 @@ def queries() -> dict:
             _embs(s, d)
         ),
         "ann_ivf_topk": lambda s, d: similarity.ann_ivf_topk(_embs(s, d)),
+        # Lloyd's k-means trained in-job (the trainer the IVF index's
+        # seeded centroids stand in for); final assignment is pure
+        # literal column math — 0 shuffles, codegen
+        "emb_kmeans": lambda s, d: clustering.kmeans_assign(_embs(s, d)),
+        # BM25 keyword search: lexical top-k complement to the ANN ops
+        "text_bm25_topk": lambda s, d: search.bm25_topk(_docs(s, d)),
         "text_quality": lambda s, d: textstats.quality_df(_docs(s, d)),
         "text_langid": lambda s, d: textstats.langid_df(_docs(s, d)),
         "text_langid_trigram": lambda s, d: textstats.langid_trigram_df(
@@ -764,6 +770,8 @@ def oracle_sql() -> dict:
         "ann_lsh_topk": similarity.ann_lsh_topk_sql(),
         "ann_lsh_multi_topk": similarity.ann_lsh_multi_topk_sql(),
         "ann_ivf_topk": similarity.ann_ivf_topk_sql(),
+        "emb_kmeans": clustering.kmeans_assign_sql(),
+        "text_bm25_topk": search.bm25_topk_sql(),
         "text_quality": textstats.quality_sql(),
         "text_langid": textstats.langid_sql(),
         "text_langid_trigram": textstats.langid_trigram_sql(),
