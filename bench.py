@@ -74,6 +74,7 @@ HEADLINE = [
     "dedup_substring_spans",
     "emb_kmeans",
     "text_bm25_topk",
+    "ann_ivf_trained_topk",
 ]
 
 BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "32000000"))

@@ -80,3 +80,30 @@ def test_final_assignment_plan_is_shuffle_free(spark, embs):
     out = C.kmeans_assign(embs)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_trained_ivf_matches_oracle_and_finds_neighbors(spark, embs):
+    """Train → index → search composition: IVF over the in-job-trained
+    codebook matches the unrolled training+search SQL oracle and
+    returns a full top-k per query with sane cosines."""
+    from vyperdatum_spark.ops import similarity as S
+
+    out = (
+        S.ann_ivf_trained_topk(embs)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'"
+    )
+    oracle = (
+        con.execute(S.ann_ivf_trained_topk_sql())
+        .df()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, oracle, check_dtype=False)
+    assert out.groupby("query_id").size().eq(3).all()
+    assert out["cos_r"].between(-1.0, 1.0).all()

@@ -119,15 +119,17 @@ def kmeans_assign(df: DataFrame, k: int = K_CLUSTERS, iters: int = N_ITERS,
     )
 
 
-def kmeans_assign_sql(table: str = "embeddings", k: int = K_CLUSTERS,
-                      iters: int = N_ITERS, id_col: str = "vec_id",
-                      emb_col: str = "embedding",
-                      dim: int = EMB_DIM) -> str:
-    """Unrolled-CTE DuckDB oracle: seeds → (assign → update) × (iters-1)
-    → final assign.  Every float op mirrors the Spark side bit-for-bit
+def kmeans_ctes(table: str = "embeddings", k: int = K_CLUSTERS,
+                iters: int = N_ITERS, id_col: str = "vec_id",
+                emb_col: str = "embedding",
+                dim: int = EMB_DIM) -> tuple[list[str], str]:
+    """The unrolled training CTE chain: seeds → (assign → update) ×
+    (iters-1), plus the final assignment ``a{iters}``.  Returns
+    (cte_parts, trained_centroid_cte_name) so composed oracles (e.g.
+    the trained-IVF search) can build on the SAME training the Spark
+    side ran.  Every float op mirrors ``kmeans_train`` bit-for-bit
     (see module docstring); means are rounded to the same 1e-6 grid
     before feeding the next iteration."""
-    md5_id = f"md5(CAST({id_col} AS VARCHAR))"
 
     def dist(e: str, c: str) -> str:
         term = (f"(CAST({e}[i] AS DOUBLE) - {c}[i]) * "
@@ -166,6 +168,15 @@ def kmeans_assign_sql(table: str = "embeddings", k: int = K_CLUSTERS,
                 f"c{t} AS (SELECT p.cluster, coalesce(m.cent, p.cent) AS cent "
                 f"FROM c{t - 1} p LEFT JOIN m{t} m USING (cluster))"
             )
+    return parts, f"c{iters - 1}"
+
+
+def kmeans_assign_sql(table: str = "embeddings", k: int = K_CLUSTERS,
+                      iters: int = N_ITERS, id_col: str = "vec_id",
+                      emb_col: str = "embedding",
+                      dim: int = EMB_DIM) -> str:
+    """DuckDB oracle for ``kmeans_assign``."""
+    parts, _ = kmeans_ctes(table, k, iters, id_col, emb_col, dim)
     return (
         "WITH " + ", ".join(parts) +
         f" SELECT vid AS {id_col}, cluster, round(sqrt(dist), 6) AS dist "

@@ -357,27 +357,11 @@ def centroid_cos_array_sql(emb: str, nrm: str) -> str:
     return "[" + ", ".join(parts) + "]"
 
 
-def ann_ivf_topk(df: DataFrame, id_col: str = "vec_id",
-                 emb_col: str = "embedding",
-                 n_queries: int = 10, k: int = 3,
-                 nprobe: int = N_PROBE) -> DataFrame:
-    """IVF approximate top-k: vectors land in the inverted list of
-    their nearest centroid; a query probes its ``nprobe`` closest
-    lists; exact cosine only within the probed lists.
-
-    Scale shape: assignment is one codegen pass; the probe join is a
-    (centroid_id) equi-join — candidates per query ≈ nprobe/C of the
-    corpus, never all-pairs; raising nprobe trades cost for recall.
-    """
-    base = df.select(
-        F.col(id_col), F.col(emb_col),
-        norm_col(F.col(emb_col)).alias("nrm"),
-        centroid_cos_array_col(emb_col, norm_spark_sql(emb_col)).alias("_ca"),
-    ).select(
-        id_col, emb_col, "nrm", "_ca",
-        F.array_position(F.col("_ca"), F.array_max(F.col("_ca")))
-        .cast("int").alias("cell"),
-    )
+def _ivf_body(base: DataFrame, id_col: str, emb_col: str,
+              n_queries: int, k: int, nprobe: int) -> DataFrame:
+    """Shared IVF probe/re-rank stage over a ``base`` carrying
+    (id, emb, nrm, _ca, cell): nprobe closest lists per query →
+    (cell) equi-join → exact cosine top-k within candidates."""
     q = base.filter(F.col(id_col) < n_queries)
     probes = (
         q.select(
@@ -411,6 +395,126 @@ def ann_ivf_topk(df: DataFrame, id_col: str = "vec_id",
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos_r"))
+    )
+
+
+def ann_ivf_topk(df: DataFrame, id_col: str = "vec_id",
+                 emb_col: str = "embedding",
+                 n_queries: int = 10, k: int = 3,
+                 nprobe: int = N_PROBE) -> DataFrame:
+    """IVF approximate top-k: vectors land in the inverted list of
+    their nearest centroid; a query probes its ``nprobe`` closest
+    lists; exact cosine only within the probed lists.
+
+    Scale shape: assignment is one codegen pass; the probe join is a
+    (centroid_id) equi-join — candidates per query ≈ nprobe/C of the
+    corpus, never all-pairs; raising nprobe trades cost for recall.
+    """
+    base = df.select(
+        F.col(id_col), F.col(emb_col),
+        norm_col(F.col(emb_col)).alias("nrm"),
+        centroid_cos_array_col(emb_col, norm_spark_sql(emb_col)).alias("_ca"),
+    ).select(
+        id_col, emb_col, "nrm", "_ca",
+        F.array_position(F.col("_ca"), F.array_max(F.col("_ca")))
+        .cast("int").alias("cell"),
+    )
+    return _ivf_body(base, id_col, emb_col, n_queries, k, nprobe)
+
+
+def trained_cos_array_col(emb: str, nrm: str,
+                          cents: list[list[float]]) -> Column:
+    """array<double> of cosine(emb, trained_centroid_i) — same
+    expression shape as ``centroid_cos_array_col`` but over a RUNTIME
+    codebook (k-means output), so no cross-build memoization; centroid
+    norms are folded left-to-right in Python to match the oracle's
+    ``list_reduce`` exactly."""
+    cols = []
+    for cent in cents:
+        acc = 0.0
+        for w in cent:
+            acc += w * w
+        cnorm = acc ** 0.5
+        dot = " + ".join(
+            f"{float(w)!r}D * CAST(element_at({emb}, {j + 1}) AS DOUBLE)"
+            for j, w in enumerate(cent)
+        )
+        cols.append(F.expr(f"(0.0D + {dot}) / ({nrm} * {cnorm!r}D)"))
+    return F.array(*cols)
+
+
+def ann_ivf_trained_topk(df: DataFrame, id_col: str = "vec_id",
+                         emb_col: str = "embedding",
+                         n_queries: int = 10, k: int = 3,
+                         nprobe: int = N_PROBE, k_clusters: int = 8,
+                         iters: int = 2) -> DataFrame:
+    """IVF whose codebook is TRAINED in-job (``ops/clustering``
+    Lloyd's) instead of seeded — the full train → index → search
+    composition.  Training adds ``iters - 1`` tiny map-side-combined
+    aggregations up front; the search plan is then identical in shape
+    to ``ann_ivf_topk`` (codegen assignment, (cell) equi-join probes,
+    exact re-rank on candidates only)."""
+    from .clustering import kmeans_train
+
+    cents = kmeans_train(df, k=k_clusters, iters=iters, id_col=id_col,
+                         emb_col=emb_col)
+    ca = trained_cos_array_col(emb_col, norm_spark_sql(emb_col), cents)
+    base = df.select(
+        F.col(id_col), F.col(emb_col),
+        norm_col(F.col(emb_col)).alias("nrm"),
+        ca.alias("_ca"),
+    ).select(
+        id_col, emb_col, "nrm", "_ca",
+        F.array_position(F.col("_ca"), F.array_max(F.col("_ca")))
+        .cast("int").alias("cell"),
+    )
+    return _ivf_body(base, id_col, emb_col, n_queries, k, nprobe)
+
+
+def ann_ivf_trained_topk_sql(table: str = "embeddings",
+                             id_col: str = "vec_id",
+                             emb_col: str = "embedding",
+                             n_queries: int = 10, k: int = 3,
+                             nprobe: int = N_PROBE, k_clusters: int = 8,
+                             iters: int = 2, dim: int = EMB_DIM) -> str:
+    """Oracle: the k-means training CTE chain (bit-identical to the
+    Spark trainer) feeds centroid rows; assignment/probing computes
+    cosines against those rows instead of baked literals."""
+    from .clustering import kmeans_ctes
+
+    parts, cfinal = kmeans_ctes(table, k_clusters, iters, id_col,
+                                emb_col, dim)
+    cdot = (f"(0.0 + list_reduce(list_transform(generate_series(1, {dim}), "
+            f"i -> CAST(b.e[i] AS DOUBLE) * t.cent[i]), (x, y) -> x + y))")
+    cnorm = (f"sqrt(0.0 + list_reduce(list_transform("
+             f"generate_series(1, {dim}), i -> cent[i] * cent[i]), "
+             f"(x, y) -> x + y))")
+    vnorm_terms = (f"list_transform(generate_series(1, {dim}), "
+                   f"i -> CAST(e[i] AS DOUBLE) * CAST(e[i] AS DOUBLE))")
+    vnorm = f"sqrt(0.0 + list_reduce({vnorm_terms}, (x, y) -> x + y))"
+    ccos = f"({cdot} / (b.nrm * t.cnorm))"
+    cos = cosine_sql("p.q_emb", "c.c_emb")
+    parts += [
+        (f"codebook AS (SELECT cluster, cent, {cnorm} AS cnorm "
+         f"FROM {cfinal})"),
+        f"vecs AS (SELECT vid, e, {vnorm} AS nrm FROM emb)",
+        (f"cellcos AS (SELECT b.vid, b.e, b.nrm, t.cluster, {ccos} AS ccos, "
+         f"row_number() OVER (PARTITION BY b.vid "
+         f"ORDER BY {ccos} DESC, t.cluster) AS crk "
+         f"FROM vecs b CROSS JOIN codebook t)"),
+        "assigned AS (SELECT vid, e, cluster AS cell FROM cellcos WHERE crk = 1)",
+        (f"p AS (SELECT vid AS query_id, e AS q_emb, cluster AS cell "
+         f"FROM cellcos WHERE vid < {n_queries} AND crk <= {nprobe})"),
+        "c AS (SELECT vid AS neighbor_id, e AS c_emb, cell FROM assigned)",
+        (f"scored AS (SELECT query_id, neighbor_id, {cos} AS cos, "
+         f"row_number() OVER (PARTITION BY query_id "
+         f"ORDER BY {cos} DESC, neighbor_id) AS rank "
+         f"FROM p JOIN c USING (cell) WHERE neighbor_id <> query_id)"),
+    ]
+    return (
+        "WITH " + ", ".join(parts) +
+        f" SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, "
+        f"round(cos, 6) AS cos_r FROM scored WHERE rank <= {k}"
     )
 
 

@@ -691,6 +691,11 @@ def queries() -> dict:
         # seeded centroids stand in for); final assignment is pure
         # literal column math — 0 shuffles, codegen
         "emb_kmeans": lambda s, d: clustering.kmeans_assign(_embs(s, d)),
+        # train → index → search composition: IVF over the k-means
+        # codebook trained in-job (vs ann_ivf_topk's seeded codebook)
+        "ann_ivf_trained_topk": lambda s, d: similarity.ann_ivf_trained_topk(
+            _embs(s, d)
+        ),
         # BM25 keyword search: lexical top-k complement to the ANN ops
         "text_bm25_topk": lambda s, d: search.bm25_topk(_docs(s, d)),
         "text_quality": lambda s, d: textstats.quality_df(_docs(s, d)),
@@ -771,6 +776,7 @@ def oracle_sql() -> dict:
         "ann_lsh_multi_topk": similarity.ann_lsh_multi_topk_sql(),
         "ann_ivf_topk": similarity.ann_ivf_topk_sql(),
         "emb_kmeans": clustering.kmeans_assign_sql(),
+        "ann_ivf_trained_topk": similarity.ann_ivf_trained_topk_sql(),
         "text_bm25_topk": search.bm25_topk_sql(),
         "text_quality": textstats.quality_sql(),
         "text_langid": textstats.langid_sql(),
