@@ -75,6 +75,7 @@ HEADLINE = [
     "emb_kmeans",
     "text_bm25_topk",
     "ann_ivf_trained_topk",
+    "dsir_weights",
 ]
 
 BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "32000000"))

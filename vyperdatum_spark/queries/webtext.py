@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..ops import clustering, dedup, search, similarity, textstats
+from ..ops import clustering, dedup, dsir, search, similarity, textstats
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -698,6 +698,9 @@ def queries() -> dict:
         ),
         # BM25 keyword search: lexical top-k complement to the ANN ops
         "text_bm25_topk": lambda s, d: search.bm25_topk(_docs(s, d)),
+        # DSIR importance weights (arXiv:2302.03169): hashed-ngram
+        # target-vs-raw log ratios, scored as a 0-shuffle scan fold
+        "dsir_weights": lambda s, d: dsir.dsir_weights(_docs(s, d)),
         "text_quality": lambda s, d: textstats.quality_df(_docs(s, d)),
         "text_langid": lambda s, d: textstats.langid_df(_docs(s, d)),
         "text_langid_trigram": lambda s, d: textstats.langid_trigram_df(
@@ -778,6 +781,7 @@ def oracle_sql() -> dict:
         "emb_kmeans": clustering.kmeans_assign_sql(),
         "ann_ivf_trained_topk": similarity.ann_ivf_trained_topk_sql(),
         "text_bm25_topk": search.bm25_topk_sql(),
+        "dsir_weights": dsir.dsir_weights_sql(),
         "text_quality": textstats.quality_sql(),
         "text_langid": textstats.langid_sql(),
         "text_langid_trigram": textstats.langid_trigram_sql(),
