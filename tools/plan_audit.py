@@ -56,6 +56,10 @@ AUDIT = [
     ("pack_sequences", "training-sequence packing offsets"),
     ("sample_token_budget", "per-group token-budget mixing sampler"),
     ("geo_cell_rollup", "hierarchical cell rollup (9->8->7 re-agg)"),
+    ("emb_kmeans", "k-means final assignment (trained literals)"),
+    ("ann_ivf_trained_topk", "trained-codebook IVF ANN top-k"),
+    ("text_bm25_topk", "BM25 keyword search (scan-side tf)"),
+    ("dsir_weights", "DSIR importance weights (scan-side fold)"),
 ]
 
 
