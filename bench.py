@@ -76,6 +76,8 @@ HEADLINE = [
     "text_bm25_topk",
     "ann_ivf_trained_topk",
     "dsir_weights",
+    "doc_hash_embed",
+    "hybrid_search_rrf",
 ]
 
 BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "32000000"))

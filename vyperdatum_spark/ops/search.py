@@ -187,3 +187,202 @@ def bm25_topk_sql(table: str = "documents",
         f"SELECT qid, {id_col}, score, rank FROM ranked WHERE rank <= {k} "
         f"ORDER BY qid, rank"
     )
+
+
+# ------------------------------------------------- hashed doc embeddings
+# Feature-hashing embeddings (Weinberger et al. 2009): unit-L2 hashed
+# unigram TF vectors.  No external model — the whole text→vector step
+# is md5-bucket column math, so semantic ops (ANN, SemDeDup, k-means)
+# compose onto raw documents with zero Python and zero shuffle.
+EMBED_DIM = 64
+
+
+def _bucket_col(t: Column) -> Column:
+    from .dedup import hash60
+
+    return (hash60(t) % EMBED_DIM).cast("int")
+
+
+def _bucket_sql(t: str) -> str:
+    from .dedup import hash60_sql
+
+    return f"({hash60_sql(t)} % {EMBED_DIM})"
+
+
+def _bucket_py(t: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % EMBED_DIM
+
+
+def doc_hash_embed(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(id, embedding array<double>[64]) — unit-L2 hashed-TF vector,
+    pure scan-side column math, zero shuffle.
+
+    STAGED projections are load-bearing (same lesson as
+    ``dedup.minhash_sig_df``): the md5 bucket array and the 64-slot
+    count vector each materialize ONCE per row in their own Project —
+    CollapseProject does not inline an expensive expression referenced
+    64 times — so the md5 pass is O(n_tokens)/row, not
+    O(dim·n_tokens)/row.  (The explode → 64 conditional-sum aggregate
+    formulation is the codegen alternative; it pays one shuffle on the
+    id and loses nothing else — use it if interpreted-HOF CPU ever
+    dominates a profile.)"""
+    toks = _toks(F.col(text_col))
+    s1 = df.select(
+        F.col(id_col),
+        F.transform(toks, lambda t: _bucket_col(t)).alias("_bks"),
+    )
+    s2 = s1.select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(EMBED_DIM - 1)),
+            lambda b: F.size(
+                F.filter(F.col("_bks"), lambda x: x == b)
+            ).cast("double"),
+        ).alias("_cnt"),
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("_cnt"), lambda c: c * c),
+            F.lit(0.0), lambda a, v: a + v,
+        )
+    )
+    return s2.select(
+        F.col(id_col),
+        F.transform(F.col("_cnt"), lambda c: c / nrm).alias("embedding"),
+    )
+
+
+def _embed_sql_exprs(text_col: str) -> tuple[str, str]:
+    """(counts_expr, norm_expr) over string_split(text_col)."""
+    bks = f"list_transform(string_split({text_col}, ' '), t -> {_bucket_sql('t')})"
+    counts = (f"list_transform(generate_series(0, {EMBED_DIM - 1}), "
+              f"b -> CAST(len(list_filter({bks}, x -> x = b)) AS DOUBLE))")
+    return counts, None
+
+
+def doc_hash_embed_sql(table: str = "documents", id_col: str = "doc_id",
+                       text_col: str = "text") -> str:
+    counts, _ = _embed_sql_exprs(text_col)
+    return (
+        f"WITH c AS (SELECT {id_col}, {counts} AS cnt FROM {table}), "
+        f"n AS (SELECT {id_col}, cnt, sqrt(0.0 + list_reduce("
+        f"list_transform(cnt, c -> c * c), (x, y) -> x + y)) AS nrm FROM c) "
+        f"SELECT {id_col}, list_transform(cnt, c -> c / nrm) AS embedding "
+        f"FROM n ORDER BY {id_col}"
+    )
+
+
+# ----------------------------------------------- hybrid retrieval (RRF)
+RRF_K = 60
+HYBRID_TOP_K = 10
+
+
+def _query_embed_py(terms: list[str]) -> list[float]:
+    """Unit-L2 hashed-TF vector of the query terms, computed with the
+    SAME md5-bucket device in pure Python — a query-derived constant
+    baked identically into the Spark plan and the SQL oracle."""
+    counts = [0.0] * EMBED_DIM
+    for t in terms:
+        counts[_bucket_py(t)] += 1.0
+    acc = 0.0
+    for c in counts:
+        acc += c * c
+    nrm = acc ** 0.5
+    return [c / nrm for c in counts]
+
+
+def hybrid_search_rrf(df: DataFrame,
+                      queries: list[tuple[int, list[str]]] | None = None,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      k: int = HYBRID_TOP_K) -> DataFrame:
+    """Hybrid retrieval: BM25 (lexical) and hashed-embedding cosine
+    (semantic) lists fused with reciprocal-rank fusion
+    (Cormack et al. 2009): rrf = Σ_lists 1/(60 + rank).
+
+    The vector leg here scores the full corpus per query (|queries| is
+    a literal handful); at 10^12 docs it swaps in the trained-IVF
+    probe (`ops/similarity.ann_ivf_trained_topk`) over the SAME
+    hashed embeddings — the fusion join is unchanged."""
+    queries = queries if queries is not None else SEARCH_QUERIES
+    bm = bm25_topk(df, queries=queries, id_col=id_col,
+                   text_col=text_col, k=k).select(
+        "qid", id_col, F.col("rank").alias("rank_bm"))
+    emb = doc_hash_embed(df, id_col=id_col, text_col=text_col)
+    per_q = []
+    for qid, terms in queries:
+        qv = _query_embed_py(sorted(terms))
+        arr = F.array(*[F.lit(v) for v in qv])
+        dot = F.aggregate(
+            F.zip_with(F.col("embedding"), arr, lambda e, q: e * q),
+            F.lit(0.0), lambda a, v: a + v)
+        per_q.append(F.struct(F.lit(qid).alias("qid"), dot.alias("dot")))
+    vec = (
+        emb.select(F.col(id_col), F.explode(F.array(*per_q)).alias("q"))
+        .select(F.col("q.qid").alias("qid"), id_col,
+                F.col("q.dot").alias("dot"))
+        .withColumn("rank_v", F.row_number().over(
+            Window.partitionBy("qid").orderBy(
+                F.desc("dot"), F.col(id_col))))
+        .filter(F.col("rank_v") <= k)
+        .select("qid", id_col, "rank_v")
+    )
+    fused = bm.join(vec, ["qid", id_col], "full_outer")
+    rrf = (
+        F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_bm")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_v")), F.lit(0.0))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("rrf"), F.col(id_col))
+    return (
+        fused.select("qid", id_col, F.round(rrf, 6).alias("rrf"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", id_col, "rrf", "rank")
+    )
+
+
+def hybrid_search_rrf_sql(table: str = "documents",
+                          queries: list[tuple[int, list[str]]] | None = None,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          k: int = HYBRID_TOP_K) -> str:
+    queries = queries if queries is not None else SEARCH_QUERIES
+    bm = bm25_topk_sql(table, queries=queries, id_col=id_col,
+                       text_col=text_col, k=k)
+    counts, _ = _embed_sql_exprs(text_col)
+    vec_selects = []
+    for qid, terms in queries:
+        qv = _query_embed_py(sorted(terms))
+        qlist = "[" + ", ".join(repr(v) for v in qv) + "]"
+        dot = (f"(0.0 + list_reduce(list_transform("
+               f"generate_series(1, {EMBED_DIM}), "
+               f"i -> emb[i] * ({qlist})[i]), (x, y) -> x + y))")
+        vec_selects.append(
+            f"SELECT {qid} AS qid, {id_col}, {dot} AS dot FROM embdocs"
+        )
+    vec_union = " UNION ALL ".join(vec_selects)
+    return (
+        f"WITH bmtop AS ({bm}), "
+        f"ecnt AS (SELECT {id_col}, {counts} AS cnt FROM {table}), "
+        f"enrm AS (SELECT {id_col}, cnt, sqrt(0.0 + list_reduce("
+        f"list_transform(cnt, c -> c * c), (x, y) -> x + y)) AS nrm "
+        f"FROM ecnt), "
+        f"embdocs AS (SELECT {id_col}, "
+        f"list_transform(cnt, c -> c / nrm) AS emb FROM enrm), "
+        f"vecscored AS ({vec_union}), "
+        f"vectop AS (SELECT qid, {id_col}, rank_v FROM ("
+        f"SELECT qid, {id_col}, row_number() OVER (PARTITION BY qid "
+        f"ORDER BY dot DESC, {id_col}) AS rank_v FROM vecscored) "
+        f"WHERE rank_v <= {k}), "
+        f"fused AS (SELECT coalesce(b.qid, v.qid) AS qid, "
+        f"coalesce(b.{id_col}, v.{id_col}) AS {id_col}, "
+        f"round(coalesce(1.0 / ({RRF_K} + b.rank), 0.0) + "
+        f"coalesce(1.0 / ({RRF_K} + v.rank_v), 0.0), 6) AS rrf "
+        f"FROM bmtop b FULL OUTER JOIN vectop v "
+        f"ON b.qid = v.qid AND b.{id_col} = v.{id_col}) "
+        f"SELECT qid, {id_col}, rrf, CAST(rank AS INT) AS rank FROM ("
+        f"SELECT qid, {id_col}, rrf, row_number() OVER ("
+        f"PARTITION BY qid ORDER BY rrf DESC, {id_col}) AS rank "
+        f"FROM fused) WHERE rank <= {k} ORDER BY qid, rank"
+    )

@@ -701,6 +701,15 @@ def queries() -> dict:
         # DSIR importance weights (arXiv:2302.03169): hashed-ngram
         # target-vs-raw log ratios, scored as a 0-shuffle scan fold
         "dsir_weights": lambda s, d: dsir.dsir_weights(_docs(s, d)),
+        # text → unit-L2 hashed-TF vector, no external model (feature
+        # hashing): the on-ramp from raw documents to every
+        # embedding op (ANN / SemDeDup / k-means)
+        "doc_hash_embed": lambda s, d: search.doc_hash_embed(_docs(s, d)),
+        # hybrid retrieval: BM25 + hashed-embedding cosine fused with
+        # reciprocal-rank fusion
+        "hybrid_search_rrf": lambda s, d: search.hybrid_search_rrf(
+            _docs(s, d)
+        ),
         "text_quality": lambda s, d: textstats.quality_df(_docs(s, d)),
         "text_langid": lambda s, d: textstats.langid_df(_docs(s, d)),
         "text_langid_trigram": lambda s, d: textstats.langid_trigram_df(
@@ -782,6 +791,8 @@ def oracle_sql() -> dict:
         "ann_ivf_trained_topk": similarity.ann_ivf_trained_topk_sql(),
         "text_bm25_topk": search.bm25_topk_sql(),
         "dsir_weights": dsir.dsir_weights_sql(),
+        "doc_hash_embed": search.doc_hash_embed_sql(),
+        "hybrid_search_rrf": search.hybrid_search_rrf_sql(),
         "text_quality": textstats.quality_sql(),
         "text_langid": textstats.langid_sql(),
         "text_langid_trigram": textstats.langid_trigram_sql(),
