@@ -65,6 +65,20 @@ from vyperdatum_spark.queries import geo
 #   plan runs the same inverse leg plus common-prefix elimination.
 #   The skew-safe twin rel_events_asof_bucketed stays extended-only
 #   (same oracle; equivalence pytest test_bucketed_equals_plain).
+# Rotated IN (round-4 continuation — the new training-pipeline ops):
+#   ann_ivf_trained_topk (replaces ann_ivf_topk: SAME probe/re-rank
+#     machinery plus the in-job k-means training — strictly stronger
+#     evidence), emb_kmeans (iterative Lloyd's), dsir_weights (DSIR
+#     data selection), hybrid_search_rrf (BM25 + hashed-embedding
+#     fusion; its legs drive text_bm25_topk and doc_hash_embed, which
+#     stay extended-only).  Making room: ann_ivf_topk (subsumed as
+#     above), text_token_counts (its columns are a subset of
+#     text_quality's machinery), json_extract (scalar JSON path also
+#     exercised in rel/stream shapes), url_latest_capture
+#     (max-struct capture semantics driver-evidenced by
+#     stream_curated_capture's first-capture state + url_canonical_
+#     dedup's canonical-key agg).  All rotated-out entries remain
+#     oracle-verified in the extended gate (BENCH/ORACLES.md).
 EXPOSED = [
     # marquee compositions + streaming
     "pipeline_end_to_end",
@@ -97,7 +111,6 @@ EXPOSED = [
     "geo_parquet_sink_roundtrip",
     # web-corpus curation (round-4 surface)
     "url_canonical_dedup",
-    "url_latest_capture",
     "html_extract_text",
     "line_dedup",
     "pii_redact",
@@ -110,18 +123,21 @@ EXPOSED = [
     "dedup_simhash_hamming",
     "dedup_embedding_cosine",
     "decontaminate",
-    # ANN family
+    # ANN family (trained-IVF subsumes the seeded-codebook variant:
+    # same probe machinery plus the in-job k-means training)
     "ann_bruteforce_topk",
     "ann_lsh_multi_topk",
-    "ann_ivf_topk",
-    # text analysis / sampling / multimodal
+    "ann_ivf_trained_topk",
+    # embedding clustering + hybrid retrieval (late round 4)
+    "emb_kmeans",
+    "hybrid_search_rrf",
+    # text analysis / selection / sampling / multimodal
     "text_quality",
     "text_langid",
-    "text_token_counts",
+    "dsir_weights",
     "doc_fingerprint",
     "sample_stratified",
     "multimodal_meta",
-    "json_extract",
     # relational
     "rel_pricing_summary",
     "rel_events_asof",
