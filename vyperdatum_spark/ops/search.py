@@ -255,17 +255,16 @@ def doc_hash_embed(df: DataFrame, id_col: str = "doc_id",
     )
 
 
-def _embed_sql_exprs(text_col: str) -> tuple[str, str]:
-    """(counts_expr, norm_expr) over string_split(text_col)."""
+def _embed_counts_sql(text_col: str) -> str:
+    """64-slot hashed-TF count vector over string_split(text_col)."""
     bks = f"list_transform(string_split({text_col}, ' '), t -> {_bucket_sql('t')})"
-    counts = (f"list_transform(generate_series(0, {EMBED_DIM - 1}), "
-              f"b -> CAST(len(list_filter({bks}, x -> x = b)) AS DOUBLE))")
-    return counts, None
+    return (f"list_transform(generate_series(0, {EMBED_DIM - 1}), "
+            f"b -> CAST(len(list_filter({bks}, x -> x = b)) AS DOUBLE))")
 
 
 def doc_hash_embed_sql(table: str = "documents", id_col: str = "doc_id",
                        text_col: str = "text") -> str:
-    counts, _ = _embed_sql_exprs(text_col)
+    counts = _embed_counts_sql(text_col)
     return (
         f"WITH c AS (SELECT {id_col}, {counts} AS cnt FROM {table}), "
         f"n AS (SELECT {id_col}, cnt, sqrt(0.0 + list_reduce("
@@ -350,7 +349,7 @@ def hybrid_search_rrf_sql(table: str = "documents",
     queries = queries if queries is not None else SEARCH_QUERIES
     bm = bm25_topk_sql(table, queries=queries, id_col=id_col,
                        text_col=text_col, k=k)
-    counts, _ = _embed_sql_exprs(text_col)
+    counts = _embed_counts_sql(text_col)
     vec_selects = []
     for qid, terms in queries:
         qv = _query_embed_py(sorted(terms))
