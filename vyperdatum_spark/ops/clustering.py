@@ -37,19 +37,23 @@ K_CLUSTERS = 8
 N_ITERS = 3
 
 
-def sqdist_col(emb: Column, cent: list[float]) -> Column:
-    """Squared L2 distance to a literal centroid: zip_with squared
-    diffs, left-to-right fold from 0.0 (bit-identical to the oracle's
-    ``0.0 + list_reduce(list_transform(...), +)``)."""
-    arr = F.array(*[F.lit(float(c)) for c in cent])
-    diffs = F.zip_with(
-        emb, arr,
-        lambda e, c: (e.cast("double") - c) * (e.cast("double") - c),
+def sqdist_col(emb: str, cent: list[float]) -> Column:
+    """Squared L2 distance to a literal centroid over the column NAMED
+    ``emb``, as one UNROLLED arithmetic expression — plain element_at
+    math stays inside whole-stage codegen (a zip_with/aggregate HOF is
+    CodegenFallback, ~10× slower per row at training scale; same
+    device as ``similarity.centroid_cos_array_col``).  The left-assoc
+    sum ``0.0D + t1 + t2 + …`` is bit-identical to the oracle's
+    ``0.0 + list_reduce(list_transform(...), +)`` fold."""
+    terms = " + ".join(
+        f"(CAST(element_at({emb}, {i + 1}) AS DOUBLE) - {float(w)!r}D) * "
+        f"(CAST(element_at({emb}, {i + 1}) AS DOUBLE) - {float(w)!r}D)"
+        for i, w in enumerate(cent)
     )
-    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+    return F.expr(f"(0.0D + {terms})")
 
 
-def _assign_cols(emb: Column, cents: list[list[float]]) -> tuple[Column, Column]:
+def _assign_cols(emb: str, cents: list[list[float]]) -> tuple[Column, Column]:
     """(cluster, sqdist) vs the literal centroid list.  array_position
     returns the FIRST index holding the min ⇒ ties break to the lowest
     cluster id, matching the oracle's ORDER BY dist, cluster."""
@@ -81,11 +85,10 @@ def kmeans_train(df: DataFrame, k: int = K_CLUSTERS, iters: int = N_ITERS,
     only ``iters - 1`` mean-updates run (the final assignment is the
     caller's, e.g. ``kmeans_assign``)."""
     cents = seed_centroids(df, k, id_col, emb_col)
-    emb = F.col(emb_col)
     for _ in range(iters - 1):
-        cluster, _d = _assign_cols(emb, cents)
+        cluster, _d = _assign_cols(emb_col, cents)
         means = (
-            df.select(cluster.alias("cluster"), emb.alias("e"))
+            df.select(cluster.alias("cluster"), F.col(emb_col).alias("e"))
             .groupBy("cluster")
             .agg(*[
                 F.round(F.avg(F.element_at(F.col("e"), i).cast("double")), 6)
@@ -111,7 +114,7 @@ def kmeans_assign(df: DataFrame, k: int = K_CLUSTERS, iters: int = N_ITERS,
     cost is ``iters - 1`` tiny map-side-combined aggregations."""
     cents = kmeans_train(df, k=k, iters=iters, id_col=id_col,
                          emb_col=emb_col, dim=dim)
-    cluster, sqd = _assign_cols(F.col(emb_col), cents)
+    cluster, sqd = _assign_cols(emb_col, cents)
     return df.select(
         F.col(id_col),
         cluster.alias("cluster"),
