@@ -64,7 +64,10 @@ def test_separates_synthetic_domains(spark):
     assert tg.min() > xx.max()
 
 
-def test_scoring_plan_is_shuffle_free(spark, docs):
+def test_scoring_plan_shape(spark, docs):
+    """One id-keyed aggregation shuffle (map-side combined), zero
+    Python crossings — the bucket-count formulation's plan."""
     out = D.dsir_weights(docs)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    assert plan.count("Exchange") <= 2  # partial→final agg exchange
+    assert "Python" not in plan and "Arrow" not in plan

@@ -68,20 +68,36 @@ def _bucket_sql(g: str) -> str:
     return f"({hash60_sql(g)} % {N_BUCKETS})"
 
 
+def _bucketed_grams(df: DataFrame, target_filter: Column, id_col: str,
+                    text_col: str) -> DataFrame:
+    """(id, is_t, b) — one gram per row with its hash bucket; built
+    ONCE and cached so training and scoring share the explode + md5
+    pass (the gram-array construction is the expensive stage)."""
+    toks = F.split(F.col(text_col), " ")
+    return (
+        df.select(
+            F.col(id_col),
+            target_filter.cast("long").alias("is_t"),
+            F.explode(_grams_col(toks)).alias("g"),
+        )
+        .select(F.col(id_col), "is_t", _bucket_col(F.col("g")).alias("b"))
+    )
+
+
 def train_lambdas(df: DataFrame, target_filter: Column,
-                  text_col: str = "text") -> list[float]:
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> list[float]:
     """One explode+agg pass over the corpus → the 64 per-bucket
     log-importance weights ln(p̂_target(b) / p̂_raw(b)), add-one
     smoothed.  Buckets unseen in either distribution get the smoothed
     prior ratio."""
-    toks = F.split(F.col(text_col), " ")
-    flat = df.select(
-        target_filter.cast("long").alias("is_t"),
-        F.explode(_grams_col(toks)).alias("g"),
-    )
+    bk = _bucketed_grams(df, target_filter, id_col, text_col)
+    return _lambdas_from_buckets(bk)
+
+
+def _lambdas_from_buckets(bk: DataFrame) -> list[float]:
     rows = (
-        flat.select(_bucket_col(F.col("g")).alias("b"), "is_t")
-        .groupBy("b")
+        bk.groupBy("b")
         .agg(F.count(F.lit(1)).alias("r"), F.sum("is_t").alias("t"))
         .collect()
     )
@@ -105,23 +121,35 @@ def dsir_weights(df: DataFrame, id_col: str = "doc_id",
                  target_lang: str = "en") -> DataFrame:
     """(id, n_grams, weight, avg_weight) — per-document DSIR log
     importance weight vs the ``lang = target_lang`` target slice.
-    Scoring is a 0-shuffle scan-side fold over baked λ literals."""
-    lam = train_lambdas(df, F.col("lang") == target_lang,
-                        text_col=text_col)
-    lam_arr = F.array(*[F.lit(v) for v in lam])
-    toks = F.split(F.col(text_col), " ")
-    grams = _grams_col(toks)
-    contrib = F.transform(
-        grams,
-        lambda g: F.element_at(lam_arr, _bucket_col(g) + 1),
-    )
-    s = F.aggregate(contrib, F.lit(0.0), lambda acc, v: acc + v)
-    n = F.size(grams)
-    return df.select(
+
+    Scoring shape: explode grams → md5 bucket → 64 conditional-sum
+    aggregates per document, then weight = Σ_b n_b·λ_b folded in
+    BUCKET order as unrolled codegen arithmetic.  The per-(doc,
+    bucket) counts are exact integers, so the bucket-order fold is
+    deterministic on both engines — unlike a per-gram shuffle sum —
+    and the whole plan (Generate, md5, sums, fold) is whole-stage
+    codegen with map-side partial aggregation (a per-row interpreted
+    HOF fold over the grams was measured ~5× slower).  The bucketed
+    gram table is CACHED so training and scoring pay the explode +
+    md5 pass once (the PageRank/localCheckpoint pattern for ops that
+    re-read an intermediate)."""
+    bk = _bucketed_grams(df, F.col("lang") == target_lang, id_col,
+                         text_col).persist()
+    lam = _lambdas_from_buckets(bk)
+    agg = bk.groupBy(id_col).agg(*[
+        F.sum((F.col("b") == i).cast("double")).alias(f"_n{i}")
+        for i in range(N_BUCKETS)
+    ])
+    s = F.lit(0.0)
+    n = F.lit(0.0)
+    for i in range(N_BUCKETS):
+        s = s + F.col(f"_n{i}") * F.lit(lam[i])
+        n = n + F.col(f"_n{i}")
+    return agg.select(
         F.col(id_col),
         n.cast("long").alias("n_grams"),
         F.round(s, 6).alias("weight"),
-        F.round(s / n.cast("double"), 6).alias("avg_weight"),
+        F.round(s / n, 6).alias("avg_weight"),
     )
 
 
@@ -130,13 +158,13 @@ def dsir_weights_sql(table: str = "documents", id_col: str = "doc_id",
                      target_lang: str = "en") -> str:
     """Oracle: recomputes the training (same explode/agg, same add-one
     smoothing, missing buckets filled via generate_series LEFT JOIN)
-    and folds λ over grams in the same document order."""
+    and folds Σ_b n_b·λ_b over the per-document bucket-count vector in
+    the same BUCKET order as the Spark side's unrolled sum."""
     b = _bucket_sql("g")
     lam_expr = (
         f"ln(((coalesce(bc.t, 0) + 1.0) / (tot.tt + {N_BUCKETS})) / "
         f"((coalesce(bc.r, 0) + 1.0) / (tot.rr + {N_BUCKETS})))"
     )
-    lookup = f"ll[({_bucket_sql('g')}) + 1]"
     return (
         f"WITH toked AS (SELECT {id_col}, lang, "
         f"string_split({text_col}, ' ') AS toks FROM {table}), "
@@ -151,10 +179,18 @@ def dsir_weights_sql(table: str = "documents", id_col: str = "doc_id",
         f"FROM generate_series(0, {N_BUCKETS - 1}) gs(b) "
         f"LEFT JOIN bc USING (b) CROSS JOIN tot), "
         f"ltab AS (SELECT list(lam ORDER BY b) AS ll FROM lam), "
-        f"scored AS (SELECT {id_col}, len(gs) AS n_grams, "
-        f"(0.0 + list_reduce(list_transform(gs, g -> {lookup}), "
+        f"bks AS (SELECT {id_col}, "
+        f"list_transform(gs, g -> {b}) AS bl, len(gs) AS n_grams "
+        f"FROM gr), "
+        f"nv AS (SELECT {id_col}, n_grams, "
+        f"list_transform(generate_series(0, {N_BUCKETS - 1}), "
+        f"b -> CAST(len(list_filter(bl, x -> x = b)) AS DOUBLE)) AS cnt "
+        f"FROM bks), "
+        f"scored AS (SELECT {id_col}, n_grams, "
+        f"(0.0 + list_reduce(list_transform("
+        f"generate_series(1, {N_BUCKETS}), i -> cnt[i] * ll[i]), "
         f"(x, y) -> x + y)) AS s "
-        f"FROM gr CROSS JOIN ltab) "
+        f"FROM nv CROSS JOIN ltab) "
         f"SELECT {id_col}, CAST(n_grams AS BIGINT) AS n_grams, "
         f"round(s, 6) AS weight, "
         f"round(s / CAST(n_grams AS DOUBLE), 6) AS avg_weight FROM scored"
