@@ -50,6 +50,35 @@ def _toks(text: Column) -> Column:
     return F.split(text, " ")
 
 
+N_TOPK_SALTS = 16
+
+
+def _topk_per_qid(cand: DataFrame, id_col: str, score_col: str,
+                  k: int) -> DataFrame:
+    """Two-phase top-k per qid — the scale-safe replacement for a
+    window partitioned by qid alone: with a literal handful of
+    queries, a plain window funnels EVERY candidate into ≤|queries|
+    tasks (a single-partition sort at corpus scale).  Phase 1 takes a
+    local top-k within (qid, salt = hash(id) % 16) — 16-way parallel,
+    candidate volume cut to ≤ 16k rows/query — and phase 2 ranks the
+    survivors.  The union of per-salt top-ks contains the global
+    top-k, so the result is row-identical to the single window (ties
+    broken by id both times)."""
+    salt = F.pmod(F.hash(F.col(id_col)), F.lit(N_TOPK_SALTS))
+    w1 = Window.partitionBy("qid", "_salt").orderBy(
+        F.desc(score_col), F.col(id_col))
+    w2 = Window.partitionBy("qid").orderBy(
+        F.desc(score_col), F.col(id_col))
+    return (
+        cand.withColumn("_salt", salt)
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= k)
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .drop("_salt", "_r1")
+    )
+
+
 def _tf_col(toks: Column, term: str) -> Column:
     return F.size(F.filter(toks, lambda x: x == F.lit(term)))
 
@@ -130,11 +159,8 @@ def bm25_topk(df: DataFrame, queries: list[tuple[int, list[str]]] | None = None,
         .select(F.col("q.qid").alias("qid"), F.col(id_col),
                 F.col("q.score").alias("score"))
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.col(id_col))
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("qid", id_col, "score", "rank")
+    return _topk_per_qid(cand, id_col, "score", k).select(
+        "qid", id_col, "score", "rank"
     )
 
 
@@ -310,21 +336,20 @@ def hybrid_search_rrf(df: DataFrame,
             F.zip_with(F.col("embedding"), arr, lambda e, q: e * q),
             F.lit(0.0), lambda a, v: a + v)
         per_q.append(F.struct(F.lit(qid).alias("qid"), dot.alias("dot")))
-    vec = (
+    vec_cand = (
         emb.select(F.col(id_col), F.explode(F.array(*per_q)).alias("q"))
         .select(F.col("q.qid").alias("qid"), id_col,
                 F.col("q.dot").alias("dot"))
-        .withColumn("rank_v", F.row_number().over(
-            Window.partitionBy("qid").orderBy(
-                F.desc("dot"), F.col(id_col))))
-        .filter(F.col("rank_v") <= k)
-        .select("qid", id_col, "rank_v")
+    )
+    vec = _topk_per_qid(vec_cand, id_col, "dot", k).select(
+        "qid", id_col, F.col("rank").alias("rank_v")
     )
     fused = bm.join(vec, ["qid", id_col], "full_outer")
     rrf = (
         F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_bm")), F.lit(0.0))
         + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_v")), F.lit(0.0))
     )
+    # fusion input is ≤ 2k rows per query — a plain window is fine here
     w = Window.partitionBy("qid").orderBy(F.desc("rrf"), F.col(id_col))
     return (
         fused.select("qid", id_col, F.round(rrf, 6).alias("rrf"))
