@@ -146,3 +146,21 @@ def test_hybrid_rrf_fuses_both_lists(spark, docs):
         assert grp["rrf"].is_monotonic_decreasing or (
             grp.sort_values("rank")["rrf"].is_monotonic_decreasing
         )
+
+
+def test_doc_semantic_dedup_drops_planted_duplicates(spark):
+    """SemDeDup over raw text: every planted exact duplicate (same
+    text, higher id) must be dropped; its lower-id original kept."""
+    import __spark_entry__ as entry
+
+    out = (
+        entry.queries_extended()["doc_semantic_dedup"](spark, SF)
+        .toPandas()
+    )
+    planted = out[out.doc_id >= 1_000_000]
+    assert len(planted) > 0
+    assert not planted["keep"].any()
+    originals = out[(out.doc_id < 1_000_000) & (out.doc_id % 7 == 0)]
+    # an original may itself be dropped only against a lower-id
+    # near-dup, never against its own copy (copies have higher ids)
+    assert originals["keep"].mean() > 0.5

@@ -710,6 +710,19 @@ def queries() -> dict:
         "hybrid_search_rrf": lambda s, d: search.hybrid_search_rrf(
             _docs(s, d)
         ),
+        # SemDeDup over RAW TEXT: hashed embeddings feed the
+        # centroid-blocked semantic dedup — no external vectors;
+        # threshold 0.95 sits above the shared-vocabulary cosine bulk
+        # (p99.9 ≈ 0.93) and below the exact-dup tail (1.0)
+        # the persist() is load-bearing: it puts an InMemoryRelation
+        # boundary between the 64-term embedding construction and the
+        # 16-centroid assignment — without it Catalyst inlines the
+        # embed expression into every centroid cosine (16×64×64-node
+        # trees) and analysis never terminates
+        "doc_semantic_dedup": lambda s, d: similarity.semantic_dedup(
+            search.doc_hash_embed(_docs_with_dups(s, d)).persist(),
+            id_col="doc_id", threshold=0.95,
+        ),
         "text_quality": lambda s, d: textstats.quality_df(_docs(s, d)),
         "text_langid": lambda s, d: textstats.langid_df(_docs(s, d)),
         "text_langid_trigram": lambda s, d: textstats.langid_trigram_df(
@@ -793,6 +806,10 @@ def oracle_sql() -> dict:
         "dsir_weights": dsir.dsir_weights_sql(),
         "doc_hash_embed": search.doc_hash_embed_sql(),
         "hybrid_search_rrf": search.hybrid_search_rrf_sql(),
+        "doc_semantic_dedup": similarity.semantic_dedup_sql(
+            table=f"({search.doc_hash_embed_sql(table=DUPS_SQL, id_col='doc_id')})",
+            id_col="doc_id", threshold=0.95,
+        ),
         "text_quality": textstats.quality_sql(),
         "text_langid": textstats.langid_sql(),
         "text_langid_trigram": textstats.langid_trigram_sql(),
