@@ -4,6 +4,7 @@ ranking invariants, and the one-scan plan shape."""
 import math
 
 import duckdb
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -138,14 +139,30 @@ def test_hybrid_rrf_fuses_both_lists(spark, docs):
     out = S.hybrid_search_rrf(docs).toPandas()
     assert (out["rrf"] <= 2.0 / (S.RRF_K + 1) + 1e-9).all()
     bm = S.bm25_topk(docs).toPandas()
-    # the fused top-1 must appear in at least one leg's top-k
+    # recompute the vector leg independently (numpy over the hashed
+    # embeddings, same tie-break: dot desc, doc_id asc) so the union
+    # check below actually cross-checks the fused output
+    emb = S.doc_hash_embed(docs).toPandas()
+    E = np.array([list(v) for v in emb["embedding"]])
+    ids = emb["doc_id"].to_numpy()
+    vec_ids = {}
+    for qid, terms in S.SEARCH_QUERIES:
+        qv = np.array(S._query_embed_py(sorted(terms)))
+        # same left-to-right fold as the Spark leg's aggregate(zip_with)
+        dots = np.zeros(len(E))
+        for j in range(E.shape[1]):
+            dots += E[:, j] * qv[j]
+        order = np.lexsort((ids, -dots))[: S.HYBRID_TOP_K]
+        vec_ids[qid] = set(ids[order])
+    # every fused doc — in particular the top-1 — must come from one
+    # of the two legs' top-k lists
     for qid, grp in out.groupby("qid"):
-        top1 = grp.sort_values("rank").iloc[0]["doc_id"]
         bm_ids = set(bm[bm.qid == qid]["doc_id"])
-        assert top1 in bm_ids or True  # vector-only top-1 is legal
-        assert grp["rrf"].is_monotonic_decreasing or (
-            grp.sort_values("rank")["rrf"].is_monotonic_decreasing
-        )
+        legs = bm_ids | vec_ids[qid]
+        assert set(grp["doc_id"]) <= legs
+        top1 = grp.sort_values("rank").iloc[0]["doc_id"]
+        assert top1 in legs
+        assert grp.sort_values("rank")["rrf"].is_monotonic_decreasing
 
 
 def test_doc_semantic_dedup_drops_planted_duplicates(spark):

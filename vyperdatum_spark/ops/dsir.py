@@ -17,11 +17,15 @@ Spark-first shape:
   (the target flag rides along, so the raw corpus is scanned once);
   the resulting λ_b = ln(p̂_t(b)/p̂_r(b)) table is tiny and baked as a
   64-slot literal array.
-- **scoring** is scan-side column math: fold λ[bucket(gram)] over the
-  document's grams in DOCUMENT ORDER (``aggregate ∘ transform``), so
-  Spark and the DuckDB oracle — which recomputes the training in CTEs
-  — sum bit-identically (mod 1-ulp libm ``ln``, absorbed by round-6).
-  Zero shuffle, zero Python in the scoring plan.
+- **scoring** is explode → groupBy(id): per-(doc, bucket) counts come
+  out of one id-keyed aggregation (exact integers, map-side combined),
+  then weight = Σ_b n_b·λ_b is folded in BUCKET order as unrolled
+  codegen arithmetic — deterministic on both engines because the
+  integer counts make the fold order-insensitive (the DuckDB oracle
+  recomputes the training in CTEs and folds the same bucket-count
+  vector).  One shuffle keyed by the document id, zero Python; the
+  scan-side ``aggregate ∘ transform`` alternative was measured ~5×
+  slower (interpreted CodegenFallback per row).
 
 Features are unigrams + word bigrams hashed to 64 buckets with the
 repo's portable ``hash60`` (md5-prefix) device.
@@ -130,11 +134,14 @@ def dsir_weights(df: DataFrame, id_col: str = "doc_id",
     and the whole plan (Generate, md5, sums, fold) is whole-stage
     codegen with map-side partial aggregation (a per-row interpreted
     HOF fold over the grams was measured ~5× slower).  The bucketed
-    gram table is CACHED so training and scoring pay the explode +
-    md5 pass once (the PageRank/localCheckpoint pattern for ops that
-    re-read an intermediate)."""
+    gram table is materialized ONCE via ``localCheckpoint`` so
+    training and scoring share the explode + md5 pass — unlike a
+    bare ``persist()`` the checkpointed blocks are released by the
+    ContextCleaner when the returned plan is garbage-collected, so a
+    long-lived driver running the full registry does not accumulate
+    cached relations (ADVICE r4)."""
     bk = _bucketed_grams(df, F.col("lang") == target_lang, id_col,
-                         text_col).persist()
+                         text_col).localCheckpoint()
     lam = _lambdas_from_buckets(bk)
     agg = bk.groupBy(id_col).agg(*[
         F.sum((F.col("b") == i).cast("double")).alias(f"_n{i}")

@@ -699,7 +699,9 @@ def queries() -> dict:
         # BM25 keyword search: lexical top-k complement to the ANN ops
         "text_bm25_topk": lambda s, d: search.bm25_topk(_docs(s, d)),
         # DSIR importance weights (arXiv:2302.03169): hashed-ngram
-        # target-vs-raw log ratios, scored as a 0-shuffle scan fold
+        # target-vs-raw log ratios; scoring is one explode → groupBy
+        # (id) pass over a shared (localCheckpoint'd) bucketed-gram
+        # table, then an unrolled bucket-order codegen fold
         "dsir_weights": lambda s, d: dsir.dsir_weights(_docs(s, d)),
         # text → unit-L2 hashed-TF vector, no external model (feature
         # hashing): the on-ramp from raw documents to every
@@ -714,13 +716,14 @@ def queries() -> dict:
         # centroid-blocked semantic dedup — no external vectors;
         # threshold 0.95 sits above the shared-vocabulary cosine bulk
         # (p99.9 ≈ 0.93) and below the exact-dup tail (1.0)
-        # the persist() is load-bearing: it puts an InMemoryRelation
-        # boundary between the 64-term embedding construction and the
-        # 16-centroid assignment — without it Catalyst inlines the
-        # embed expression into every centroid cosine (16×64×64-node
-        # trees) and analysis never terminates
+        # the materialization boundary is load-bearing: it stops
+        # Catalyst from inlining the 64-term embed expression into
+        # every centroid cosine (16×64×64-node trees — analysis never
+        # terminates). localCheckpoint (not persist): same boundary,
+        # but the blocks are released by the ContextCleaner when the
+        # plan is GC'd instead of accumulating in a long-lived driver
         "doc_semantic_dedup": lambda s, d: similarity.semantic_dedup(
-            search.doc_hash_embed(_docs_with_dups(s, d)).persist(),
+            search.doc_hash_embed(_docs_with_dups(s, d)).localCheckpoint(),
             id_col="doc_id", threshold=0.95,
         ),
         "text_quality": lambda s, d: textstats.quality_df(_docs(s, d)),
