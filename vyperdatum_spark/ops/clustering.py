@@ -11,17 +11,24 @@ k-means"); this module IS that trainer, expressed Spark-first:
   array_min(arr))`` (first match ⇒ lowest cluster wins ties).  Zero
   shuffle, zero Python, whole-stage codegen.
 - **update** is one map-side-combined partial aggregation per
-  iteration (``groupBy(cluster).agg(avg(dim_i) …)``) — each executor
-  emits k×dim partial sums, the driver collects k tiny rows and bakes
-  the ROUNDED means (6 dp) as the next iteration's literals.  At
+  iteration (``groupBy(cluster).agg(sum(scaled dim_i) …)``) — each
+  executor emits k×dim partial sums, the driver collects k tiny rows
+  and bakes the 1e-6-grid means as the next iteration's literals.  At
   10^12 rows this is the canonical scale shape: per-iteration cost is
   one scan + a k×dim-wide combine; nothing grows with n on the driver.
 - **determinism**: seeds are the k vectors with the smallest
-  ``md5(cast(id as string))`` (portable to the DuckDB oracle), means
-  are rounded to a 1e-6 grid before re-broadcast so both engines
-  iterate from bit-identical centroid literals, and every distance is
-  a left-to-right double fold — the final assignment is hash-exact
-  against an unrolled-CTE SQL oracle.
+  ``md5(cast(id as string))`` (portable to the DuckDB oracle), and
+  every distance is a left-to-right double fold — the final
+  assignment is hash-exact against an unrolled-CTE SQL oracle.  The
+  mean update is ORDER-INSENSITIVE (ADVICE r4): each component is
+  quantized to the 1e-6 grid (``round(x·10⁶) → bigint``) and summed
+  as an exact integer, so the mean is identical no matter how Spark
+  orders the partial aggregation across partitions/cores — a plain
+  ``avg(double)`` sums in partition order and can land on either side
+  of a rounding boundary, flaking the cross-engine gate and the
+  bench's cross-parallelism checksum.  The quantization moves each
+  mean by ≤ 5e-7 (half a grid cell) vs the avg-then-round value —
+  inside the 1e-6 grid the algorithm already rounds to.
 
 Empty-cluster rule: a cluster that captures no points keeps its
 previous centroid (COALESCE in the oracle's update CTE).
@@ -76,23 +83,60 @@ def seed_centroids(df: DataFrame, k: int, id_col: str,
     return [[float(v) for v in r[emb_col]] for r in rows]
 
 
+def _cluster_col(df: DataFrame, emb_col: str, cents: list[list[float]],
+                 strategy: str) -> tuple[Column, Column]:
+    """(cluster, sqdist) via the resolved strategy — 'literal'
+    (unrolled codegen arithmetic, fastest at fixture model sizes) or
+    'broadcast' (Arrow-batch kernel vs a broadcast centroid matrix,
+    the dim=768/k=256 scale path; see ops/embkernel).  Both are
+    bit-identical (same float64 fold order, same first-min ties)."""
+    if strategy == "broadcast":
+        from .embkernel import kmeans_assign_broadcast_col
+
+        a = kmeans_assign_broadcast_col(df, cents, emb_col)
+        return a.getField("cluster"), a.getField("sqdist")
+    return _assign_cols(emb_col, cents)
+
+
 def kmeans_train(df: DataFrame, k: int = K_CLUSTERS, iters: int = N_ITERS,
                  id_col: str = "vec_id", emb_col: str = "embedding",
-                 dim: int = EMB_DIM) -> list[list[float]]:
+                 dim: int = EMB_DIM,
+                 strategy: str = "auto") -> list[list[float]]:
     """Lloyd's iterations; returns the trained centroid list (each a
     dim-long list of doubles rounded to 6 dp, except iteration-0 seeds
     which are the raw vectors).  ``iters`` assignments are implied;
     only ``iters - 1`` mean-updates run (the final assignment is the
-    caller's, e.g. ``kmeans_assign``)."""
+    caller's, e.g. ``kmeans_assign``).
+
+    ``strategy``: 'literal' | 'broadcast' | 'auto' — auto picks
+    literal codegen while k×dim fits the codegen budget and the
+    broadcast Arrow kernel beyond it (ops/embkernel.pick_strategy),
+    so per-iteration cost stops growing with k×dim compile time at
+    real embedding dimensions."""
+    from .embkernel import pick_strategy
+
+    strategy = pick_strategy(k, dim, strategy)
     cents = seed_centroids(df, k, id_col, emb_col)
     for _ in range(iters - 1):
-        cluster, _d = _assign_cols(emb_col, cents)
+        cluster, _d = _cluster_col(df, emb_col, cents, strategy)
         means = (
             df.select(cluster.alias("cluster"), F.col(emb_col).alias("e"))
             .groupBy("cluster")
             .agg(*[
-                F.round(F.avg(F.element_at(F.col("e"), i).cast("double")), 6)
-                .alias(f"m{i}")
+                # exact integer sum of 1e-6-quantized components →
+                # order-insensitive mean (see module docstring); the
+                # bigint sum is exact below 2^53-scale totals and the
+                # single division + round(6) is deterministic
+                F.round(
+                    F.sum(
+                        F.round(
+                            F.element_at(F.col("e"), i).cast("double")
+                            * F.lit(1000000.0), 0
+                        ).cast("long")
+                    ).cast("double")
+                    / (F.lit(1000000.0) * F.count(F.lit(1))),
+                    6,
+                ).alias(f"m{i}")
                 for i in range(1, dim + 1)
             ])
             .collect()
@@ -107,14 +151,20 @@ def kmeans_train(df: DataFrame, k: int = K_CLUSTERS, iters: int = N_ITERS,
 
 def kmeans_assign(df: DataFrame, k: int = K_CLUSTERS, iters: int = N_ITERS,
                   id_col: str = "vec_id", emb_col: str = "embedding",
-                  dim: int = EMB_DIM) -> DataFrame:
+                  dim: int = EMB_DIM, strategy: str = "auto") -> DataFrame:
     """Train, then return the final assignment — (id, cluster, dist)
-    with dist = round(sqrt(squared-L2), 6).  The returned plan is pure
-    literal column math over one scan (0 shuffles, codegen); training
-    cost is ``iters - 1`` tiny map-side-combined aggregations."""
+    with dist = round(sqrt(squared-L2), 6).  On the literal strategy
+    the returned plan is pure literal column math over one scan
+    (0 shuffles, codegen); on the broadcast strategy (auto-picked past
+    the codegen budget) the scoring is one Arrow-batch kernel per scan
+    — still one pass, still zero per-row Python.  Training cost is
+    ``iters - 1`` tiny map-side-combined aggregations either way."""
+    from .embkernel import pick_strategy
+
+    strategy = pick_strategy(k, dim, strategy)
     cents = kmeans_train(df, k=k, iters=iters, id_col=id_col,
-                         emb_col=emb_col, dim=dim)
-    cluster, sqd = _assign_cols(emb_col, cents)
+                         emb_col=emb_col, dim=dim, strategy=strategy)
+    cluster, sqd = _cluster_col(df, emb_col, cents, strategy)
     return df.select(
         F.col(id_col),
         cluster.alias("cluster"),
@@ -142,7 +192,11 @@ def kmeans_ctes(table: str = "embeddings", k: int = K_CLUSTERS,
                 f"(x, y) -> x + y))")
 
     mean_list = ", ".join(
-        f"round(avg(CAST(e[{i}] AS DOUBLE)), 6)" for i in range(1, dim + 1)
+        # same order-insensitive mean as kmeans_train: exact bigint
+        # sum of 1e-6-quantized components, one division, round(6)
+        f"round(CAST(sum(CAST(round(CAST(e[{i}] AS DOUBLE) * 1000000.0) "
+        f"AS BIGINT)) AS DOUBLE) / (1000000.0 * count(*)), 6)"
+        for i in range(1, dim + 1)
     )
     d = dist("e", "cent")
     parts = [

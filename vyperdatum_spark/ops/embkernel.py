@@ -1,0 +1,149 @@
+"""Broadcast-matrix Arrow kernels for embedding scoring — the
+model-size scale path for k-means assignment and IVF probing.
+
+The literal-codegen strategy (`ops/clustering.sqdist_col`,
+`ops/similarity.trained_cos_array_col`) bakes the k×dim codebook into
+unrolled arithmetic: at fixture sizes (k=8..16, dim=64) it is the
+fastest possible plan — zero Python, whole-stage codegen — but the
+generated expression grows as k×dim terms and a fresh janino compile
+runs per literal set (per Lloyd's iteration).  At real training-
+pipeline model sizes (dim=768, k in the hundreds) it blows the repo's
+documented codegen budgets (COVERAGE.md expression-budget note: past
+~8 KB of bytecode per method the fused stage drops to the
+interpreter; 64 KB is a hard janino limit) and compile time grows
+with k×dim×iterations.
+
+This module is the other strategy: the codebook is an EXPLICIT Spark
+broadcast (one numpy matrix per executor, the same device as
+`engine/transform.py::make_broadcast_kernel`'s grid payload), and
+scoring is an Arrow-batched pandas UDF — vectorized numpy over each
+batch, never per-row Python.  Per-batch cost is a dim-step loop of
+n×k fused multiply-adds; plan-build and compile cost are O(1) in the
+model size.
+
+Bit-exactness vs the literal path (so parity is EXACT, not
+approximate): every accumulation runs in float64 in the SAME
+left-to-right dimension order as the literal expressions —
+
+- squared L2: literal is ``0.0D + (x₁-w₁)² + (x₂-w₂)² + …`` (left
+  assoc); the kernel starts from zeros and adds the j-th term for all
+  (row, centroid) pairs at once, j = 1..dim — identical op order per
+  accumulator element.
+- cosine: literal is ``(0.0D + w₁x₁ + …) / (nrm · cnorm)`` with nrm
+  the left fold of xⱼ² and cnorm folded left-to-right in Python; the
+  kernel mirrors all three folds.
+- argmin/argmax ties: ``np.argmin``/``np.argmax`` return the FIRST
+  extremal index — the same rule as ``array_position(arr,
+  array_min(arr))``.
+
+Strategy auto-pick (`pick_strategy`): literal iff the codebook fits
+the codegen budget — dim ≤ LITERAL_DIM_BUDGET (one centroid's
+unrolled fold must stay compilable) AND k×dim ≤ LITERAL_TERM_BUDGET
+(the whole scoring projection must stay inside whole-stage codegen).
+Auto picks literal at every fixture size the repo ships, broadcast
+beyond.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# the budget is EMPIRICAL, not theoretical: the deeply-nested
+# left-assoc folds compile by recursive descent in janino, so past a
+# size the compile itself dies (measured: k=16 × dim=128 sqdist fails
+# janino and silently falls back to the interpreter — 4.5× slower
+# than the Arrow kernel; BENCH/EMBKERNEL.md).  The budget is pinned
+# to the largest family the repo ships and has always compiled: the
+# 16-centroid × dim-64 seeded-IVF cosine array (1024 terms) and the
+# 8×64 k-means sqdist array.
+LITERAL_DIM_BUDGET = 64
+LITERAL_TERM_BUDGET = 1024
+
+STRATEGIES = ("literal", "broadcast", "auto")
+
+
+def pick_strategy(k: int, dim: int, strategy: str = "auto") -> str:
+    """Resolve 'auto' on the codegen budget; validate explicit picks."""
+    if strategy not in STRATEGIES:
+        raise ValueError(f"strategy {strategy!r} not one of {STRATEGIES}")
+    if strategy != "auto":
+        return strategy
+    if dim <= LITERAL_DIM_BUDGET and k * dim <= LITERAL_TERM_BUDGET:
+        return "literal"
+    return "broadcast"
+
+
+def _stack(emb: pd.Series, dim: int) -> np.ndarray:
+    """n×dim float64 matrix from an Arrow list column's pandas Series.
+    Widening float32 → float64 is exact, and happens BEFORE any
+    arithmetic — mirroring the literal path's CAST(… AS DOUBLE)."""
+    if len(emb) == 0:
+        return np.empty((0, dim), dtype=np.float64)
+    return np.vstack(emb.to_numpy()).astype(np.float64, copy=False)
+
+
+def kmeans_assign_broadcast_col(df: DataFrame, cents: list[list[float]],
+                                emb_col: str = "embedding") -> Column:
+    """struct<cluster:int, sqdist:double> column: nearest trained
+    centroid per row, computed against a broadcast k×dim matrix.
+    Exactly equals `clustering._assign_cols` on the same centroids."""
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(np.asarray(cents, dtype=np.float64))
+    dim = len(cents[0])
+
+    @F.pandas_udf("struct<cluster:int, sqdist:double>")
+    def assign(emb: pd.Series) -> pd.DataFrame:
+        C = bc.value                       # k×dim
+        E = _stack(emb, dim)               # n×dim
+        n = E.shape[0]
+        acc = np.zeros((n, C.shape[0]))
+        for j in range(C.shape[1]):        # dimension order = literal fold order
+            d = E[:, j, None] - C[None, :, j]
+            acc += d * d
+        if n == 0:
+            return pd.DataFrame({"cluster": pd.Series([], dtype="int32"),
+                                 "sqdist": pd.Series([], dtype="float64")})
+        cl = np.argmin(acc, axis=1)        # first min = array_position rule
+        return pd.DataFrame({
+            "cluster": (cl + 1).astype("int32"),
+            "sqdist": acc[np.arange(n), cl],
+        })
+
+    return assign(F.col(emb_col))
+
+
+def centroid_cos_broadcast_col(df: DataFrame, cents: list[list[float]],
+                               emb_col: str = "embedding") -> Column:
+    """array<double> column of cosine(emb, centroid_i) against a
+    broadcast codebook — exactly equals
+    `similarity.trained_cos_array_col` on the same centroids."""
+    sc = df.sparkSession.sparkContext
+    C = np.asarray(cents, dtype=np.float64)
+    # centroid norms: the literal path folds these left-to-right in
+    # driver Python — do the identical fold once here
+    cnorms = np.empty(C.shape[0])
+    for i, cent in enumerate(cents):
+        acc = 0.0
+        for w in cent:
+            acc += float(w) * float(w)
+        cnorms[i] = acc ** 0.5
+    bc = sc.broadcast((C, cnorms))
+    dim = len(cents[0])
+
+    @F.pandas_udf("array<double>")
+    def cosines(emb: pd.Series) -> pd.Series:
+        Cm, cn = bc.value
+        E = _stack(emb, dim)
+        n = E.shape[0]
+        dot = np.zeros((n, Cm.shape[0]))
+        nrm2 = np.zeros(n)
+        for j in range(Cm.shape[1]):       # same left-to-right folds
+            dot += E[:, j, None] * Cm[None, :, j]
+            nrm2 += E[:, j] * E[:, j]
+        ca = dot / (np.sqrt(nrm2)[:, None] * cn[None, :])
+        return pd.Series(list(ca))
+
+    return cosines(F.col(emb_col))

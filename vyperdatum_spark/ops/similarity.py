@@ -447,18 +447,30 @@ def ann_ivf_trained_topk(df: DataFrame, id_col: str = "vec_id",
                          emb_col: str = "embedding",
                          n_queries: int = 10, k: int = 3,
                          nprobe: int = N_PROBE, k_clusters: int = 8,
-                         iters: int = 2) -> DataFrame:
+                         iters: int = 2, dim: int = EMB_DIM,
+                         strategy: str = "auto") -> DataFrame:
     """IVF whose codebook is TRAINED in-job (``ops/clustering``
     Lloyd's) instead of seeded — the full train → index → search
     composition.  Training adds ``iters - 1`` tiny map-side-combined
     aggregations up front; the search plan is then identical in shape
     to ``ann_ivf_topk`` (codegen assignment, (cell) equi-join probes,
-    exact re-rank on candidates only)."""
-    from .clustering import kmeans_train
+    exact re-rank on candidates only).
 
+    ``strategy`` ('literal' | 'broadcast' | 'auto'): how the
+    k_clusters×dim probe cosines are scored — unrolled literal
+    codegen while the codebook fits the codegen budget, a broadcast
+    Arrow-batch matmul kernel past it (ops/embkernel); both are
+    bit-identical, so either route stays oracle-exact."""
+    from .clustering import kmeans_train
+    from .embkernel import centroid_cos_broadcast_col, pick_strategy
+
+    strategy = pick_strategy(k_clusters, dim, strategy)
     cents = kmeans_train(df, k=k_clusters, iters=iters, id_col=id_col,
-                         emb_col=emb_col)
-    ca = trained_cos_array_col(emb_col, norm_spark_sql(emb_col), cents)
+                         emb_col=emb_col, dim=dim, strategy=strategy)
+    if strategy == "broadcast":
+        ca = centroid_cos_broadcast_col(df, cents, emb_col)
+    else:
+        ca = trained_cos_array_col(emb_col, norm_spark_sql(emb_col), cents)
     base = df.select(
         F.col(id_col), F.col(emb_col),
         norm_col(F.col(emb_col)).alias("nrm"),
