@@ -481,9 +481,12 @@ def transform_points(
     Strategies:
       sql        — pure-JVM broadcast-join plan (transform_sql.py):
                    zero Python, zero shuffle, whole-stage codegen. THE
-                   default. Falls back to `broadcast` when it can't
-                   express the request (kNN fallback, count precedence,
-                   caller-supplied tile table).
+                   default. Auto-routes to `broadcast` when it can't
+                   express the request (caller-supplied tile table) or
+                   when the catalog's literal PIP CASE exceeds the
+                   measured codegen budget (general polygons past a
+                   few dozen crossing edges — janino's 64 KB method
+                   limit; transform_sql.sql_strategy_within_budget).
       broadcast  — fused mapInArrow kernel, grids as an explicit Spark
                    broadcast. Needed for J8 kNN and W2 count ranking.
       cogroup    — salted cogroup join against the tile side table, for
@@ -516,6 +519,19 @@ def transform_points(
     # routes to the Python-kernel strategies
     if strategy == "sql" and tiles is not None and grid_defs is None:
         strategy = "broadcast"
+    # expression-budget auto-route (round-5): the SQL strategy bakes a
+    # PIP ray-cast CASE over the whole catalog into every slot; past
+    # the measured codegen budget (transform_sql.PIP_CASE_BUDGET —
+    # general polygons hit janino's 64 KB method limit at a few dozen
+    # crossing edges) janino rejects the method and Spark silently
+    # degrades to interpreted evaluation. Route those catalogs to the
+    # broadcast kernel, where the region loop is numpy per Arrow batch
+    # and plan size is O(1) in catalog complexity.
+    if strategy == "sql":
+        from . import transform_sql as _tsql_budget
+
+        if not _tsql_budget.sql_strategy_within_budget():
+            strategy = "broadcast"
     if grid_defs is not None and tiles is None and strategy != "sql":
         tiles = tiler.build_tile_df(spark, grid_defs)
     # F4 sign matrix: depth-axis INPUT negates z before the pipeline,

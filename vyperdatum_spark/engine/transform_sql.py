@@ -367,6 +367,52 @@ def pip_literal_expr(x: Column, y: Column,
     return count % 2 == 1
 
 
+# ------------------------------------------------------------------
+# expression budget (round-5 VERDICT #2): the PIP CASE is the
+# dominant literal expression the SQL strategy bakes per slot, and
+# janino's 64 KB method limit is a hard cliff — measured with
+# spark.sql.codegen.fallback=false on this substrate:
+#   52 axis-rect regions (4 comparisons each, 208 units)      → compiles
+#   3 general 8-gons   (21 crossing edges ≈ 189 units at 9×)  → compiles
+#   3 general 16-gons  (45 crossing edges ≈ 405 units)        → 64 KB FAIL
+#   1 general 50-gon   (49 crossing edges ≈ 441 units)        → 64 KB FAIL
+# A crossing term (when + float division + count accumulation) costs
+# ~9× an axis-rect comparison in generated bytecode, hence the
+# weights.  The budget sits at half the measured failure point so
+# depth-2/3 cover overlap (several CASE columns fused into one
+# generated method) keeps margin.  Callers (engine.transform.
+# transform_points) route to the broadcast kernel strategy instead of
+# shipping a plan that janino rejects and Spark silently degrades to
+# the interpreter.
+PIP_RECT_UNITS = 4
+PIP_GENERAL_EDGE_UNITS = 9
+PIP_CASE_BUDGET = 250
+
+
+def pip_case_cost() -> int:
+    """Estimated codegen cost (in weighted comparison units, see the
+    budget note above) of ONE slot_pip_expr CASE over the current
+    catalog."""
+    total = 0
+    for r in catalog.REGIONS:
+        ring = pip._ring(list(r.polygon))
+        if _axis_rect(ring) is not None:
+            total += PIP_RECT_UNITS
+        else:
+            nh_edges = sum(
+                1 for i in range(len(ring) - 1)
+                if ring[i, 1] != ring[i + 1, 1]
+            )
+            total += PIP_GENERAL_EDGE_UNITS * nh_edges
+    return total
+
+
+def sql_strategy_within_budget() -> bool:
+    """True iff the current catalog's literal PIP CASE fits the
+    measured codegen budget — the transform_points auto-route guard."""
+    return pip_case_cost() <= PIP_CASE_BUDGET
+
+
 def slot_pip_expr(x: Column, y: Column, rid: Column) -> Column:
     """PIP for whichever region occupies a slot: a region-literal CASE
     over the catalog (null slot → null → invalid)."""
