@@ -79,6 +79,13 @@ from vyperdatum_spark.queries import geo
 #     stream_curated_capture's first-capture state + url_canonical_
 #     dedup's canonical-key agg).  All rotated-out entries remain
 #     oracle-verified in the extended gate (BENCH/ORACLES.md).
+# Rotated IN round 5: graph_pagerank — formerly the registry's one
+#   rows-only entry, now fully oracle-gated (order-insensitive
+#   scaled-integer sums make the unrolled 20-iteration DuckDB CTE
+#   twin hash-exact; ops/graph.py docstring) and the only iterative
+#   graph algorithm in the registry.  Making room: text_langid —
+#   its class stays exposed via text_quality/text_repetition and the
+#   stronger trigram variant remains extended-gated.
 EXPOSED = [
     # marquee compositions + streaming
     "pipeline_end_to_end",
@@ -133,7 +140,7 @@ EXPOSED = [
     "hybrid_search_rrf",
     # text analysis / selection / sampling / multimodal
     "text_quality",
-    "text_langid",
+    "graph_pagerank",
     "dsir_weights",
     "doc_fingerprint",
     "sample_stratified",

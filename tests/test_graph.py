@@ -13,16 +13,21 @@ N_ITER = 20
 
 
 def _numpy_pagerank(n, edge_list, n_iter=N_ITER, d=D):
+    """Dense power iteration replicating the engine's exact float ops,
+    including the order-insensitive 1e-15 quantization of the two
+    per-round sums (half-up rounding, exact integral-float sums)."""
+    S = 1.0e15
     deg = np.zeros(n)
     for s, _ in edge_list:
         deg[s] += 1
     r = np.full(n, 1.0 / n)
     for _ in range(n_iter):
-        dangling = r[deg == 0].sum()
-        contrib = np.zeros(n)
+        dangling = np.floor(r[deg == 0] * S + 0.5).sum() / S
+        contrib_s = np.zeros(n)
         for s, t in edge_list:
-            contrib[t] += r[s] / deg[s]
-        r = (1 - d) / n + d * (contrib + dangling / n)
+            contrib_s[t] += np.floor((r[s] / deg[s]) * S + 0.5)
+        contrib = contrib_s / S
+        r = (1.0 - d) / n + d * (contrib + dangling / n)
     return r
 
 
@@ -67,10 +72,34 @@ def test_pagerank_matches_numpy(graph_case, spark_ranks):
     exp = _numpy_pagerank(n, dedup)
     # vertices = union of endpoints; here that is all n nodes
     assert len(spark_ranks) == n
-    assert np.allclose(
-        spark_ranks["rank"].to_numpy(), exp[spark_ranks["node"].to_numpy()],
-        atol=1e-12,
+    got = spark_ranks["rank"].to_numpy()
+    want = exp[spark_ranks["node"].to_numpy()]
+    # with the quantized sums every op is deterministic → bit-exact
+    assert np.array_equal(got, want), np.abs(got - want).max()
+
+
+def test_pagerank_registry_matches_duckdb_oracle(spark):
+    """The round-5 upgrade: the unrolled recursive-CTE twin runs the
+    identical 20 iterations and must match hash-exact (round 12)."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    allq = {**entry.queries(), **entry.queries_extended()}
+    allo = {**entry.oracle_sql(), **entry.oracle_sql_extended()}
+    out = (
+        allq["graph_pagerank"](spark, sf)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
     )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    exp = con.execute(allo["graph_pagerank"]).df()
+    assert len(out) == len(exp)
+    assert (out["doc_id"].values == exp["doc_id"].values).all()
+    assert (out["rank"].values == exp["rank"].values).all()  # bit-exact
 
 
 def test_pagerank_mass_and_hub(graph_case, spark_ranks):

@@ -609,9 +609,12 @@ def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over a deterministic synthetic link graph on the
     documents table (doc i links to (3i+1) mod N, (7i+2) mod N, and
-    floor(i/2); docs with doc_id % 17 == 0 are dangling).  Iterative
-    float fixpoint — no SQL oracle (rows-only driver check); numpy
-    power-iteration parity is pinned in tests/test_graph.py."""
+    floor(i/2); docs with doc_id % 17 == 0 are dangling).  Since
+    round 5 the per-round sums are order-insensitive (1e-15 integer
+    grid, ops/graph docstring), so the unrolled recursive-CTE DuckDB
+    twin (`ops.graph.pagerank_doc_graph_sql`) matches HASH-EXACT
+    after round(12) — the former rows-only asterisk is closed; numpy
+    power-iteration parity stays pinned in tests/test_graph.py."""
     from ..ops.graph import pagerank
 
     ids = _docs(spark, sf_dir).select("doc_id")
@@ -629,7 +632,10 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dst"),
         )
     )
-    return pagerank(edges, n_iter=20).withColumnRenamed("node", "doc_id")
+    return (
+        pagerank(edges, n_iter=20)
+        .select(F.col("node").alias("doc_id"), F.round("rank", 12).alias("rank"))
+    )
 
 
 def queries() -> dict:
@@ -762,8 +768,8 @@ def queries() -> dict:
         "stream_first_per_source": q_stream_first_per_source,
         "text_length_quantiles": q_text_length_quantiles,
         "text_quantile_filter": q_text_quantile_filter,
-        # no oracle_sql entry: iterative float fixpoint -> rows-only
-        # driver check; numpy parity in tests/test_graph.py
+        # oracle-gated since round 5: order-insensitive scaled-integer
+        # sums make the unrolled recursive-CTE twin hash-exact
         "graph_pagerank": q_graph_pagerank,
         "pack_sequences": q_pack_sequences,
         "sample_token_budget": q_sample_token_budget,
@@ -771,7 +777,7 @@ def queries() -> dict:
 
 
 def oracle_sql() -> dict:
-    from ..ops import html, lines, packing, pii, urls
+    from ..ops import graph, html, lines, packing, pii, urls
 
     return {
         "url_canonical_dedup": url_dedup_oracle_sql(),
@@ -858,4 +864,5 @@ def oracle_sql() -> dict:
             + textstats.sample_token_budget_sql("documents", budget=500)
             + ") t"
         ),
+        "graph_pagerank": graph.pagerank_doc_graph_sql("documents"),
     }
