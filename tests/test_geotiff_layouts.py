@@ -17,6 +17,57 @@ import pytest
 from vyperdatum_spark.engine import geotiff, raster
 
 
+def _test_lzw_encode(raw: bytes) -> bytes:
+    """Independent TIFF 6.0 §13 LZW encoder for fixture authoring —
+    written straight from the spec pseudocode (InitializeStringTable /
+    WriteCode(ClearCode) / Ω-loop), deliberately NOT importing the
+    engine's codec, so reader bugs can't self-certify.  Early change:
+    the code width bumps when the next free entry reaches 2^w − 1."""
+    out = []
+    bitbuf, nbits, width = 0, 0, 9
+
+    def put(code):
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((bitbuf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+        bitbuf &= (1 << nbits) - 1
+
+    put(256)  # ClearCode
+    table = {bytes([i]): i for i in range(256)}
+    nxt = 258
+    omega = b""
+    for k in raw:
+        cand = omega + bytes([k])
+        if cand in table:
+            omega = cand
+            continue
+        put(table[omega])
+        table[cand] = nxt
+        nxt += 1
+        omega = bytes([k])
+        if nxt == (1 << width) - 1 and width < 12:
+            width += 1
+        elif nxt == 4094:
+            put(256)
+            table = {bytes([i]): i for i in range(256)}
+            nxt, width = 258, 9
+    if omega:
+        put(table[omega])
+        # phantom entry for the final flush (the decoder's lagging
+        # append still lands after this code): re-check the width
+        # bump before EOI — libtiff's LZWPostEncode rule
+        nxt += 1
+        if nxt == (1 << width) - 1 and width < 12:
+            width += 1
+    put(257)  # EOI
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def _fp_predict(row_f32: np.ndarray) -> bytes:
     """TIFF floating-point predictor encode for one row: split into
     MSB-first byte planes, then horizontal byte differencing."""
@@ -55,6 +106,8 @@ def _write_gdal_style(
             raw = b"".join(_fp_predict(r) for r in rows_f32)
         else:
             raw = rows_f32.astype("<f4").tobytes()
+        if compress == "lzw":
+            return _test_lzw_encode(raw)
         return zlib.compress(raw) if compress else raw
 
     blocks: list[bytes] = []
@@ -144,7 +197,7 @@ def _write_gdal_style(
     entry(256, 4, [w])
     entry(257, 4, [h])
     entry(258, 3, [32] * n_bands)
-    entry(259, 3, [8 if compress else 1])
+    entry(259, 3, [5 if compress == "lzw" else (8 if compress else 1)])
     entry(262, 3, [1])
     if not tiled:
         entry(273, 4, offsets)
@@ -213,6 +266,9 @@ def _expected(bands, nodata=-9999.0):
     dict(rows_per_strip=5, compress=True, predictor=3, planar=1),
     dict(rows_per_strip=8, compress=True, predictor=1, planar=2),
     dict(rows_per_strip=37, compress=False, predictor=1, planar=1),
+    # LZW (round-5 VERDICT #4): GDAL's most common float compression
+    dict(tiled=True, tile=(16, 16), compress="lzw", predictor=3, planar=1),
+    dict(rows_per_strip=7, compress="lzw", predictor=1, planar=2),
 ])
 def test_gdal_layout_variants_roundtrip(tmp_path, layout):
     bands = _fixture_bands()
@@ -245,24 +301,52 @@ def test_unsupported_layouts_fail_clearly(tmp_path):
     with pytest.raises(ValueError, match="big-endian"):
         geotiff.read_geotiff(mp)
 
-    # LZW compression id (5) in the COMPRESSION tag
-    lzw = bytearray(data)
+    # PackBits compression id (32773) in the COMPRESSION tag — LZW
+    # (5) is supported since round 5, PackBits stays a clear error
+    pb = bytearray(data)
     ifd_off = struct.unpack("<I", data[4:8])[0]
     n = struct.unpack("<H", data[ifd_off:ifd_off + 2])[0]
     for i in range(n):
         off = ifd_off + 2 + 12 * i
         if struct.unpack("<H", data[off:off + 2])[0] == 259:
-            lzw[off + 8:off + 10] = struct.pack("<H", 5)
-    lp = str(tmp_path / "lzw.tif")
-    open(lp, "wb").write(bytes(lzw))
-    with pytest.raises(ValueError, match="LZW"):
-        geotiff.read_geotiff(lp)
+            pb[off + 8:off + 10] = struct.pack("<H", 32773)
+    pp = str(tmp_path / "pb.tif")
+    open(pp, "wb").write(bytes(pb))
+    with pytest.raises(ValueError, match="compression 32773"):
+        geotiff.read_geotiff(pp)
 
 
-def test_tiled_tiff_through_raster_to_points(spark, tmp_path):
-    """S5 on a GDAL-layout raster: tiled+DEFLATE+PREDICTOR=3 file →
-    read_geotiff → raster_to_points → full raster transform, identical
-    to feeding the raw array directly (the oracle-gated
+def test_lzw_spec_vector_and_boundaries():
+    """Pin the engine decoder to the TIFF 6.0 §13 worked example
+    (input 7,7,7,8,8,7,7,6,6 ⇒ codes ⟨256,7,258,8,8,258,6,6,257⟩ at
+    9 bits) and exercise the early-change width boundaries + table
+    reset through the independent test encoder."""
+    codes = [256, 7, 258, 8, 8, 258, 6, 6, 257]
+    acc, bits, buf = 0, 0, bytearray()
+    for c in codes:
+        acc = (acc << 9) | c
+        bits += 9
+        while bits >= 8:
+            buf.append((acc >> (bits - 8)) & 0xFF)
+            bits -= 8
+        acc &= (1 << bits) - 1
+    if bits:
+        buf.append((acc << (8 - bits)) & 0xFF)
+    assert geotiff._lzw_decode(bytes(buf)) == bytes([7, 7, 7, 8, 8, 7, 7, 6, 6])
+    assert geotiff.lzw_encode(bytes([7, 7, 7, 8, 8, 7, 7, 6, 6])) == bytes(buf)
+
+    rng = np.random.default_rng(3)
+    for size in (1000, 6000, 40000):  # crosses 511/1023/2047 widths
+        data = rng.integers(0, 256, size, dtype=np.uint8).tobytes()
+        assert geotiff._lzw_decode(_test_lzw_encode(data)) == data
+        assert geotiff._lzw_decode(geotiff.lzw_encode(data)) == data
+
+
+@pytest.mark.parametrize("compress", [True, "lzw"])
+def test_tiled_tiff_through_raster_to_points(spark, tmp_path, compress):
+    """S5 on a GDAL-layout raster: tiled+{DEFLATE,LZW}+PREDICTOR=3
+    file → read_geotiff → raster_to_points → full raster transform,
+    identical to feeding the raw array directly (the oracle-gated
     geo_raster_transform plan)."""
     h, w = 25, 40
     rng = np.random.default_rng(5)
@@ -271,7 +355,7 @@ def test_tiled_tiff_through_raster_to_points(spark, tmp_path):
     p = str(tmp_path / "s.tif")
     _write_gdal_style(
         p, [("Elevation", z)], -77.5, 34.8, 0.01, -0.01,
-        tiled=True, tile=(16, 16), compress=True, predictor=3,
+        tiled=True, tile=(16, 16), compress=compress, predictor=3,
     )
     bands, meta = geotiff.read_geotiff(p)
     elev = bands["Elevation"]

@@ -191,6 +191,134 @@ def _undo_fp_predictor(raw: bytes, rows: int, row_samples: int) -> bytes:
     )
 
 
+def _lzw_decode(raw: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW decompressor (the most common GDAL compression
+    in the wild — reference raster.py:60-98 reads anything gdal.Open
+    does, and COMPRESS=LZW is GDAL's long-time default for float
+    rasters).  Public-spec implementation:
+
+    - codes are packed MSB-first, starting at 9 bits;
+    - 256 = ClearCode, 257 = EndOfInformation, strings from 258;
+    - TIFF's "early change": the code width bumps when the table
+      reaches 2^width − 1 entries (511/1023/2047), one code earlier
+      than plain LZW — the documented libtiff-compatible convention.
+
+    Pure Python per block; the read path is one-time ingestion
+    (raster → band table), not the per-row transform hot path, so
+    spec clarity beats vectorization here.
+    """
+    CLEAR, EOI = 256, 257
+    data = raw
+    nbits = len(data) * 8
+    pos = 0
+    width = 9
+    table: list[bytes] = []
+    prev: bytes | None = None
+    out = bytearray()
+
+    def read_code() -> int:
+        nonlocal pos
+        if pos + width > nbits:
+            return EOI  # spec: a truncated tail terminates the block
+        byte_pos, bit_off = divmod(pos, 8)
+        chunk = int.from_bytes(
+            data[byte_pos:byte_pos + 3].ljust(3, b"\0"), "big"
+        )
+        pos += width
+        return (chunk >> (24 - bit_off - width)) & ((1 << width) - 1)
+
+    while True:
+        code = read_code()
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if prev is None:  # first code after a Clear
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code} beyond "
+                             f"table size {len(table)}")
+        out += entry
+        prev = entry
+        # early change, lag-aligned with the encoder: the encoder
+        # widens after ITS add makes next_code == 2^w − 1, one code
+        # before the decoder's mirroring append lands (the decoder's
+        # table trails the encoder's by exactly one entry), so the
+        # decoder widens at len == 2^w − 2
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def lzw_encode(raw: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW compressor — the encode twin of
+    ``_lzw_decode`` (same early-change convention; emits Clear when
+    the table reaches 4094 entries, as libtiff does).  Used to author
+    round-trip fixtures and available to the band-table exporter."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = 0
+    accbits = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal acc, accbits
+        acc = (acc << width) | code
+        accbits += width
+        while accbits >= 8:
+            out.append((acc >> (accbits - 8)) & 0xFF)
+            accbits -= 8
+        acc &= (1 << accbits) - 1
+
+    def fresh_table() -> dict[bytes, int]:
+        return {bytes([i]): i for i in range(256)}
+
+    emit(CLEAR)
+    table = fresh_table()
+    next_code = 258
+    w = b""
+    for b in raw:
+        c = bytes([b])
+        wc = w + c
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        w = c
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1  # early change, mirrors the decoder
+        elif next_code == 4094:
+            emit(CLEAR)
+            table = fresh_table()
+            next_code = 258
+            width = 9
+    if w:
+        emit(table[w])
+        # PHANTOM entry for the final flush: the decoder's mirroring
+        # append lags one code behind, so processing this final code
+        # still grows ITS table by one — if that crosses the width
+        # boundary the decoder widens before reading EOI, and the
+        # encoder must do the same (libtiff's LZWPostEncode rule)
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+    emit(EOI)
+    if accbits:
+        out.append((acc << (8 - accbits)) & 0xFF)
+    return bytes(out)
+
+
 def _decode_block(raw: bytes, rows: int, row_samples: int,
                   compression: int, predictor: int) -> np.ndarray:
     """One strip/tile payload → (rows, row_samples) float32."""
@@ -198,10 +326,12 @@ def _decode_block(raw: bytes, rows: int, row_samples: int,
         import zlib
 
         raw = zlib.decompress(raw)
+    elif compression == 5:  # LZW (TIFF 6.0 §13)
+        raw = _lzw_decode(raw)
     elif compression != 1:
         raise ValueError(
             f"TIFF compression {compression} not supported "
-            "(supported: 1=none, 8/32946=DEFLATE; LZW is not)"
+            "(supported: 1=none, 5=LZW, 8/32946=DEFLATE)"
         )
     expected = rows * row_samples * 4
     if len(raw) != expected:
@@ -230,10 +360,12 @@ def read_geotiff(path: str):
       edge tiles padded per spec) payloads;
     - PlanarConfiguration 1 (chunky, GDAL default) and 2 (separate
       planes, this module's writer);
-    - Compression 1 (none) and 8/32946 (DEFLATE), with Predictor 1 or
-      3 (the floating-point predictor, GDAL's PREDICTOR=3);
-    - clear errors for BigTIFF (magic 43), big-endian byte order, LZW,
-      and non-Float32 samples rather than silent misreads.
+    - Compression 1 (none), 5 (LZW — public-spec decoder, round 5) and
+      8/32946 (DEFLATE), with Predictor 1 or 3 (the floating-point
+      predictor, GDAL's PREDICTOR=3);
+    - clear errors for BigTIFF (magic 43), big-endian byte order,
+      PackBits/JPEG compression, and non-Float32 samples rather than
+      silent misreads.
     """
     with open(path, "rb") as f:
         data = f.read()
