@@ -37,6 +37,29 @@ def test_html_entity_decode_order(spark):
     assert got == "a &lt; b < c end & x"
 
 
+def test_html_extended_entity_table(spark):
+    """Round-5 contract table: typographic punctuation, symbols,
+    decimal twins, the nbsp/shy normalization overrides — and parity
+    with the DuckDB oracle expression on the same payload."""
+    import duckdb
+
+    payload = (
+        "<p>&ldquo;A&rdquo;&nbsp;&ndash;&#160;B&shy;C &hellip; "
+        "&copy;&nbsp;2024 &laquo;D&raquo; &#8217;E&#8221; "
+        "3&deg; &euro;5 &pound;6 &bull; x&middot;y &trade;&reg;</p>"
+    )
+    got = _extract_one(spark, payload)
+    exp = ("“A” – BC … © 2024 «D» "
+           "’E” 3° €5 £6 • x·y "
+           "™®")
+    assert got == exp
+    sql = html.extract_text_sql(
+        "(SELECT 0 AS doc_id, encode(?) AS html)"
+    )
+    oracle = duckdb.execute(sql, [payload]).df()
+    assert oracle.loc[0, "text_out"] == exp
+
+
 def test_html_byte_identity_contract(spark):
     """The north-rule invariant: extracted text byte-identical to the
     source text through the synthetic page builder, every rotation."""
