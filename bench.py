@@ -870,6 +870,13 @@ def resume_child(pages_path: str, out_dir: str, mode: str,
     if mode == "plain":
         _materialize(transform_fn(spark, parsed))
         out["sec"] = round(time.perf_counter() - t0, 3)
+    elif mode == "plainwrite":
+        # durable-output baseline WITHOUT checkpointing: one parquet
+        # snapshot write — isolates the per-bucket-commit overhead
+        # from the cost of durable output itself
+        tables.write_table(transform_fn(spark, parsed), out_dir,
+                           mode="overwrite")
+        out["sec"] = round(time.perf_counter() - t0, 3)
     else:
         run_id = "resume-bench"
         try:
@@ -929,7 +936,10 @@ def run_resume_scale() -> dict:
         line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
         return json.loads(line)
 
+    out_pw = os.path.join(BENCH_DIR, "resume_plainwrite")
+    shutil.rmtree(out_pw, ignore_errors=True)
     plain = child("plain", out_straight)
+    plainwrite = child("plainwrite", out_pw)
     straight = child("straight", out_straight)
     crash = child("crash", out_crash)
     resume = child("resume", out_crash)
@@ -940,12 +950,13 @@ def run_resume_scale() -> dict:
     assert resume["checksum"] == straight["checksum"], (resume, straight)
     assert straight["metrics_rows_in"] == straight["rows"], straight
 
-    overhead = straight["sec"] / plain["sec"]
+    overhead = straight["sec"] / plainwrite["sec"]
     report = {
         "rows": straight["rows"],
         "plain_sec": plain["sec"],
+        "plainwrite_sec": plainwrite["sec"],
         "checkpointed_sec": straight["sec"],
-        "overhead_x": round(overhead, 3),
+        "overhead_vs_durable_write_x": round(overhead, 3),
         "crash_sec": crash["sec"],
         "resume_sec": resume["sec"],
         "checksum_match": True,
@@ -964,7 +975,10 @@ def run_resume_scale() -> dict:
         "",
         "| leg | wall (s) | note |",
         "|---|---|---|",
-        f"| plain (no checkpoint) | {plain['sec']} | noop sink |",
+        f"| plain compute (noop sink) | {plain['sec']} | no output "
+        "written |",
+        f"| plain durable write | {plainwrite['sec']} | one parquet "
+        "snapshot, no checkpointing |",
         f"| checkpointed straight | {straight['sec']} | stage write + "
         f"{RESUME_BUCKETS} bucket commits + parquet output |",
         f"| crash after 3 buckets | {crash['sec']} | process killed by "
@@ -978,10 +992,16 @@ def run_resume_scale() -> dict:
         "per-partition",
         "metrics account for every output row.**",
         "",
-        f"Checkpointing overhead vs the straight pipe: "
-        f"{overhead:.2f}× wall — the price of durable atomic",
-        "per-bucket commits (staging write + parquet data files vs a",
-        "noop sink).  The resumed leg pays only the remaining",
+        f"Checkpointing overhead vs the DURABLE-WRITE baseline: "
+        f"{overhead:.2f}× wall",
+        f"(vs the noop-sink compute baseline: "
+        f"{straight['sec'] / plain['sec']:.2f}×) — the incremental",
+        "price of restartability is the staged bucket write + "
+        f"{RESUME_BUCKETS} atomic commits",
+        "over the single-snapshot durable write; at 10^12 rows the",
+        "stage write amortizes to one extra scan and the bucket count",
+        "scales to ~1024 (1 B rows/bucket), keeping the commit",
+        "constant negligible.  The resumed leg pays only the remaining",
         f"{RESUME_BUCKETS - 3} buckets plus the (partition-pruned)",
         "staged-table read: completed work is never recomputed.",
         "",
