@@ -12,11 +12,12 @@ global sort — see ``ops/quantiles``).
 
 Spark-first shape:
 
-- **training** is ONE explode → groupBy(bucket) pass producing B=64
-  add-one-smoothed bucket counts for both distributions at once
-  (the target flag rides along, so the raw corpus is scanned once);
-  the resulting λ_b = ln(p̂_t(b)/p̂_r(b)) table is tiny and baked as a
-  64-slot literal array.
+- **training** shares the scoring aggregation: the corpus-level B=64
+  bucket counts (raw + target, add-one smoothed) are COLUMN SUMS of
+  the per-document count matrix that scoring needs anyway, so the
+  corpus is exploded and scanned exactly once; the resulting λ_b =
+  ln(p̂_t(b)/p̂_r(b)) table is tiny and baked as a 64-slot literal
+  array.
 - **scoring** is explode → groupBy(id): per-(doc, bucket) counts come
   out of one id-keyed aggregation (exact integers, map-side combined),
   then weight = Σ_b n_b·λ_b is folded in BUCKET order as unrolled
@@ -133,20 +134,47 @@ def dsir_weights(df: DataFrame, id_col: str = "doc_id",
     deterministic on both engines — unlike a per-gram shuffle sum —
     and the whole plan (Generate, md5, sums, fold) is whole-stage
     codegen with map-side partial aggregation (a per-row interpreted
-    HOF fold over the grams was measured ~5× slower).  The bucketed
-    gram table is materialized ONCE via ``localCheckpoint`` so
-    training and scoring share the explode + md5 pass — unlike a
-    bare ``persist()`` the checkpointed blocks are released by the
-    ContextCleaner when the returned plan is garbage-collected, so a
-    long-lived driver running the full registry does not accumulate
-    cached relations (ADVICE r4)."""
+    HOF fold over the grams was measured ~5× slower).
+
+    Training shares the SAME per-doc aggregation instead of re-reading
+    the raw gram table: the corpus bucket counts are column sums of
+    the per-doc count matrix (exact integers either way, so the
+    lambdas are bit-identical to training from raw grams — the oracle
+    still trains from raw grams and matches).  Only the SMALL
+    aggregate (n_docs × 65) is materialized (``localCheckpoint``, so
+    blocks are released by the ContextCleaner when the returned plan
+    is GC'd — ADVICE r4); the heavy explode + md5 pass runs once and
+    is never cached (r5: checkpointing the exploded gram table was
+    measured 2.4× slower end-to-end than this shape)."""
     bk = _bucketed_grams(df, F.col("lang") == target_lang, id_col,
-                         text_col).localCheckpoint()
-    lam = _lambdas_from_buckets(bk)
-    agg = bk.groupBy(id_col).agg(*[
-        F.sum((F.col("b") == i).cast("double")).alias(f"_n{i}")
-        for i in range(N_BUCKETS)
-    ])
+                         text_col)
+    agg = bk.groupBy(id_col).agg(
+        F.max("is_t").alias("_is_t"),
+        *[
+            F.sum((F.col("b") == i).cast("double")).alias(f"_n{i}")
+            for i in range(N_BUCKETS)
+        ],
+    ).localCheckpoint()
+    tot = agg.agg(
+        *[F.sum(F.col(f"_n{i}")).alias(f"r{i}") for i in range(N_BUCKETS)],
+        *[
+            F.sum(
+                F.when(F.col("_is_t") == 1, F.col(f"_n{i}"))
+                .otherwise(F.lit(0.0))
+            ).alias(f"t{i}")
+            for i in range(N_BUCKETS)
+        ],
+    ).collect()[0]
+    r = [int(tot[f"r{i}"] or 0) for i in range(N_BUCKETS)]
+    t = [int(tot[f"t{i}"] or 0) for i in range(N_BUCKETS)]
+    rr, tt = sum(r), sum(t)
+    lam = [
+        math.log(
+            ((t[b] + 1.0) / (tt + N_BUCKETS))
+            / ((r[b] + 1.0) / (rr + N_BUCKETS))
+        )
+        for b in range(N_BUCKETS)
+    ]
     s = F.lit(0.0)
     n = F.lit(0.0)
     for i in range(N_BUCKETS):
