@@ -89,9 +89,11 @@ def _write_gdal_style(
     tiled: bool = False, tile: tuple[int, int] = (16, 16),
     rows_per_strip: int | None = None,
     compress: bool = False, predictor: int = 1,
-    planar: int = 1,
+    planar: int = 1, bigtiff: bool = False,
 ) -> None:
-    """Minimal independent TIFF writer for GDAL-style layouts."""
+    """Minimal independent TIFF writer for GDAL-style layouts
+    (classic magic-42, or BigTIFF magic-43 with 8-byte offsets,
+    20-byte entries and LONG8 strip/tile offset arrays)."""
     h, w = bands[0][1].shape
     n_bands = len(bands)
     arrs = [
@@ -151,7 +153,7 @@ def _write_gdal_style(
     # ---- assemble the file ----
     payload = b""
     offsets, counts = [], []
-    base = 8
+    base = 16 if bigtiff else 8
     for blk in blocks:
         if len(payload) % 2:
             payload += b"\x00"
@@ -171,22 +173,23 @@ def _write_gdal_style(
         return off
 
     entries = []
+    INL = 8 if bigtiff else 4
+    cnt_fmt = "<Q" if bigtiff else "<I"
 
     def entry(tag, typ, values):
-        fmt = {3: "<H", 4: "<I", 12: "<d"}[typ]
+        if bigtiff and typ == 4 and tag in (273, 279, 324, 325):
+            typ = 16  # offset/count arrays as LONG8 — the BigTIFF shape
+        fmt = {3: "<H", 4: "<I", 12: "<d", 16: "<Q"}[typ]
         raw = (values if isinstance(values, bytes)
                else b"".join(struct.pack(fmt, v) for v in values))
         count = (len(values) if isinstance(values, bytes) else len(values))
         if typ == 2:
             count = len(raw)
-        if len(raw) <= 4:
-            entries.append(
-                struct.pack("<HHI", tag, typ, count) + raw + b"\x00" * (4 - len(raw))
-            )
+        head = struct.pack("<HH", tag, typ) + struct.pack(cnt_fmt, count)
+        if len(raw) <= INL:
+            entries.append(head + raw + b"\x00" * (INL - len(raw)))
         else:
-            entries.append(
-                struct.pack("<HHII", tag, typ, count, out_of_line(raw))
-            )
+            entries.append(head + struct.pack(cnt_fmt, out_of_line(raw)))
 
     meta_xml = ("<GDALMetadata>\n" + "".join(
         f'  <Item name="DESCRIPTION" sample="{i}" role="description">'
@@ -219,12 +222,11 @@ def _write_gdal_style(
 
     # ascii tags via raw path
     def ascii_entry(tag, raw):
-        if len(raw) <= 4:
-            entries.append(
-                struct.pack("<HHI", tag, 2, len(raw)) + raw + b"\x00" * (4 - len(raw))
-            )
+        head = struct.pack("<HH", tag, 2) + struct.pack(cnt_fmt, len(raw))
+        if len(raw) <= INL:
+            entries.append(head + raw + b"\x00" * (INL - len(raw)))
         else:
-            entries.append(struct.pack("<HHII", tag, 2, len(raw), out_of_line(raw)))
+            entries.append(head + struct.pack(cnt_fmt, out_of_line(raw)))
 
     ascii_entry(42112, meta_xml)
     ascii_entry(42113, nodata_ascii)
@@ -232,15 +234,23 @@ def _write_gdal_style(
     entries.sort(key=lambda e: struct.unpack("<H", e[:2])[0])
     ifd_off = extra_base + len(extra) + (len(extra) % 2)
     with open(path, "wb") as f:
-        f.write(b"II" + struct.pack("<H", 42) + struct.pack("<I", ifd_off))
+        if bigtiff:
+            f.write(b"II" + struct.pack("<HHH", 43, 8, 0)
+                    + struct.pack("<Q", ifd_off))
+        else:
+            f.write(b"II" + struct.pack("<H", 42) + struct.pack("<I", ifd_off))
         f.write(payload)
         if len(payload) % 2:
             f.write(b"\x00")
         f.write(extra)
         if len(extra) % 2:
             f.write(b"\x00")
-        f.write(struct.pack("<H", len(entries)) + b"".join(entries)
-                + struct.pack("<I", 0))
+        if bigtiff:
+            f.write(struct.pack("<Q", len(entries)) + b"".join(entries)
+                    + struct.pack("<Q", 0))
+        else:
+            f.write(struct.pack("<H", len(entries)) + b"".join(entries)
+                    + struct.pack("<I", 0))
 
 
 def _fixture_bands(h=37, w=53):
@@ -269,6 +279,11 @@ def _expected(bands, nodata=-9999.0):
     # LZW (round-5 VERDICT #4): GDAL's most common float compression
     dict(tiled=True, tile=(16, 16), compress="lzw", predictor=3, planar=1),
     dict(rows_per_strip=7, compress="lzw", predictor=1, planar=2),
+    # BigTIFF (round 5): 8-byte offsets, 20-byte entries, LONG8 arrays
+    dict(tiled=True, tile=(16, 16), compress="lzw", predictor=3,
+         planar=1, bigtiff=True),
+    dict(rows_per_strip=9, compress=True, predictor=3, planar=1,
+         bigtiff=True),
 ])
 def test_gdal_layout_variants_roundtrip(tmp_path, layout):
     bands = _fixture_bands()
@@ -289,10 +304,14 @@ def test_unsupported_layouts_fail_clearly(tmp_path):
     _write_gdal_style(p, bands, 0.0, 0.0, 1.0, -1.0)
     data = open(p, "rb").read()
 
+    # a classic file with the magic flipped to 43 is a MALFORMED
+    # BigTIFF (bytes 4-8 are a classic IFD offset, not the 8/0 header
+    # words) — must fail loudly, not misparse (real BigTIFF files are
+    # covered by the bigtiff=True layout variants above)
     big = data[:2] + struct.pack("<H", 43) + data[4:]
     bp = str(tmp_path / "big.tif")
     open(bp, "wb").write(big)
-    with pytest.raises(ValueError, match="BigTIFF"):
+    with pytest.raises(ValueError, match="malformed BigTIFF"):
         geotiff.read_geotiff(bp)
 
     mm = b"MM" + data[2:]

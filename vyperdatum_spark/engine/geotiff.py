@@ -54,7 +54,9 @@ _TYPE_SHORT = 3    # uint16
 _TYPE_LONG = 4     # uint32
 _TYPE_ASCII = 2
 _TYPE_DOUBLE = 12
-_TYPE_SIZE = {_TYPE_SHORT: 2, _TYPE_LONG: 4, _TYPE_ASCII: 1, _TYPE_DOUBLE: 8}
+_TYPE_LONG8 = 16   # uint64 (BigTIFF)
+_TYPE_SIZE = {_TYPE_SHORT: 2, _TYPE_LONG: 4, _TYPE_ASCII: 1,
+              _TYPE_DOUBLE: 8, _TYPE_LONG8: 8}
 
 
 def write_geotiff(
@@ -356,6 +358,9 @@ def read_geotiff(path: str):
 
     Accepts the layouts GDAL emits for separation/sounding rasters
     (reference raster.py:60-98 reads via gdal.Open):
+    - classic TIFF (magic 42) AND BigTIFF (magic 43 — 8-byte
+      offsets/counts, 20-byte IFD entries, LONG8 values; what GDAL
+      emits past 4 GB), round 5;
     - stripped (any RowsPerStrip) or tiled (TileWidth/TileLength,
       edge tiles padded per spec) payloads;
     - PlanarConfiguration 1 (chunky, GDAL default) and 2 (separate
@@ -363,9 +368,9 @@ def read_geotiff(path: str):
     - Compression 1 (none), 5 (LZW — public-spec decoder, round 5) and
       8/32946 (DEFLATE), with Predictor 1 or 3 (the floating-point
       predictor, GDAL's PREDICTOR=3);
-    - clear errors for BigTIFF (magic 43), big-endian byte order,
-      PackBits/JPEG compression, and non-Float32 samples rather than
-      silent misreads.
+    - clear errors for big-endian byte order, PackBits/JPEG
+      compression, and non-Float32 samples rather than silent
+      misreads.
     """
     with open(path, "rb") as f:
         data = f.read()
@@ -375,25 +380,42 @@ def read_geotiff(path: str):
         raise ValueError("not a TIFF (bad byte-order mark)")
     magic = struct.unpack("<H", data[2:4])[0]
     if magic == 43:
-        raise ValueError("BigTIFF (magic 43) is not supported")
-    if magic != 42:
+        # BigTIFF (the public BigTIFF spec on top of TIFF 6.0): 8-byte
+        # offsets, 8-byte counts, 20-byte IFD entries — what GDAL
+        # emits for rasters past 4 GB (BIGTIFF=YES / =IF_SAFER)
+        osz, pad = struct.unpack("<HH", data[4:8])
+        if osz != 8 or pad != 0:
+            raise ValueError(
+                f"malformed BigTIFF header (offset size {osz}, pad {pad})"
+            )
+        (ifd_off,) = struct.unpack("<Q", data[8:16])
+        (n_entries,) = struct.unpack("<Q", data[ifd_off:ifd_off + 8])
+        entry0, entry_sz, inline = ifd_off + 8, 20, 8
+        off_fmt = "<Q"
+    elif magic == 42:
+        (ifd_off,) = struct.unpack("<I", data[4:8])
+        (n_entries,) = struct.unpack("<H", data[ifd_off:ifd_off + 2])
+        entry0, entry_sz, inline = ifd_off + 2, 12, 4
+        off_fmt = "<I"
+    else:
         raise ValueError(f"not a TIFF (magic {magic})")
-    (ifd_off,) = struct.unpack("<I", data[4:8])
-    (n_entries,) = struct.unpack("<H", data[ifd_off:ifd_off + 2])
     tags: dict[int, tuple] = {}
-    for i in range(n_entries):
-        off = ifd_off + 2 + 12 * i
-        tag, typ, count = struct.unpack("<HHI", data[off:off + 8])
+    for i in range(int(n_entries)):
+        off = entry0 + entry_sz * i
+        tag, typ = struct.unpack("<HH", data[off:off + 4])
+        (count,) = struct.unpack(off_fmt, data[off + 4:off + 4 + inline])
+        vfield = off + 4 + inline
         size = _TYPE_SIZE[typ] * count
-        if size <= 4:
-            raw = data[off + 8:off + 8 + size]
+        if size <= inline:
+            raw = data[vfield:vfield + size]
         else:
-            (voff,) = struct.unpack("<I", data[off + 8:off + 12])
+            (voff,) = struct.unpack(off_fmt, data[vfield:vfield + inline])
             raw = data[voff:voff + size]
         if typ == _TYPE_ASCII:
             vals = raw.rstrip(b"\x00").decode()
         else:
-            fmt = {_TYPE_SHORT: "H", _TYPE_LONG: "I", _TYPE_DOUBLE: "d"}[typ]
+            fmt = {_TYPE_SHORT: "H", _TYPE_LONG: "I", _TYPE_DOUBLE: "d",
+                   _TYPE_LONG8: "Q"}[typ]
             vals = list(struct.unpack(f"<{count}{fmt}", raw))
         tags[tag] = vals
     w = tags[IMAGE_WIDTH][0]
