@@ -59,7 +59,9 @@ AUDIT = [
     ("emb_kmeans", "k-means final assignment (trained literals)"),
     ("ann_ivf_trained_topk", "trained-codebook IVF ANN top-k"),
     ("text_bm25_topk", "BM25 keyword search (scan-side tf)"),
-    ("dsir_weights", "DSIR importance weights (scan-side fold)"),
+    ("dsir_weights", "DSIR importance weights (explode→groupBy fold)"),
+    ("graph_pagerank", "PageRank final-round plan (oracle-gated r5)"),
+    ("hybrid_search_rrf", "hybrid BM25+vector retrieval (RRF fusion)"),
 ]
 
 
