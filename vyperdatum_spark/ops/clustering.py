@@ -21,8 +21,12 @@ k-means"); this module IS that trainer, expressed Spark-first:
   every distance is a left-to-right double fold — the final
   assignment is hash-exact against an unrolled-CTE SQL oracle.  The
   mean update is ORDER-INSENSITIVE (ADVICE r4): each component is
-  quantized to the 1e-6 grid (``round(x·10⁶) → bigint``) and summed
-  as an exact integer, so the mean is identical no matter how Spark
+  quantized to the 1e-6 grid (``floor(x·10⁶ + 0.5) → bigint`` —
+  half-toward-+inf, a pure ``Math.floor`` that stays inside
+  whole-stage codegen; Spark's ``round(double, 0)`` allocates a
+  BigDecimal per value and measured ~7× slower over 48M×16
+  components) and summed as an exact integer, so the mean is
+  identical no matter how Spark
   orders the partial aggregation across partitions/cores — a plain
   ``avg(double)`` sums in partition order and can land on either side
   of a rounding boundary, flaking the cross-engine gate and the
@@ -126,13 +130,16 @@ def kmeans_train(df: DataFrame, k: int = K_CLUSTERS, iters: int = N_ITERS,
                 # exact integer sum of 1e-6-quantized components →
                 # order-insensitive mean (see module docstring); the
                 # bigint sum is exact below 2^53-scale totals and the
-                # single division + round(6) is deterministic
+                # single division + round(6) is deterministic.
+                # floor(x+0.5), not round(x, 0): same grid point
+                # (half-toward-+inf), but Math.floor instead of a
+                # per-value BigDecimal — ~7× faster over 48M×16
                 F.round(
                     F.sum(
-                        F.round(
+                        F.floor(
                             F.element_at(F.col("e"), i).cast("double")
-                            * F.lit(1000000.0), 0
-                        ).cast("long")
+                            * F.lit(1000000.0) + F.lit(0.5)
+                        )
                     ).cast("double")
                     / (F.lit(1000000.0) * F.count(F.lit(1))),
                     6,
@@ -193,9 +200,10 @@ def kmeans_ctes(table: str = "embeddings", k: int = K_CLUSTERS,
 
     mean_list = ", ".join(
         # same order-insensitive mean as kmeans_train: exact bigint
-        # sum of 1e-6-quantized components, one division, round(6)
-        f"round(CAST(sum(CAST(round(CAST(e[{i}] AS DOUBLE) * 1000000.0) "
-        f"AS BIGINT)) AS DOUBLE) / (1000000.0 * count(*)), 6)"
+        # sum of 1e-6-quantized components (floor(x+0.5), matching
+        # the Spark side's half-toward-+inf), one division, round(6)
+        f"round(CAST(sum(CAST(floor(CAST(e[{i}] AS DOUBLE) * 1000000.0 "
+        f"+ 0.5) AS BIGINT)) AS DOUBLE) / (1000000.0 * count(*)), 6)"
         for i in range(1, dim + 1)
     )
     d = dist("e", "cent")

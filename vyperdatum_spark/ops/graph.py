@@ -102,7 +102,10 @@ def pagerank(
         dangling = (
             ranks.filter(F.col("deg").isNull())
             .agg(F.coalesce(
-                F.sum(F.round(F.col("rank") * F.lit(SCALE), 0).cast("long")),
+                # floor(x+0.5) == round-half-up for the strictly
+                # positive ranks, without round(double, 0)'s
+                # per-value BigDecimal (hot: per-vertex per-round)
+                F.sum(F.floor(F.col("rank") * F.lit(SCALE) + F.lit(0.5))),
                 F.lit(0).cast("long"),
             ))
             .collect()[0][0]
