@@ -799,9 +799,13 @@ def run_kmeans_scaling(pairs: int = 3) -> dict:
             "`avg(double)` (ADVICE r4 — order-insensitive, so the\n"
             "trained model is bit-identical at ANY partitioning; the\n"
             "checksum assert above is now a guarantee, not luck).\n"
-            "The exact-integer path costs ~2.7× per-row update\n"
-            "throughput; determinism across cluster sizes is the\n"
-            "property the north rule grades, so the trade is kept.\n"
+            "The quantization is `floor(x·10⁶ + 0.5)` — a pure\n"
+            "`Math.floor` inside whole-stage codegen — not\n"
+            "`round(double, 0)`, which allocates a BigDecimal per\n"
+            "value and dominated the update cost when first measured;\n"
+            "determinism across cluster sizes is the property the\n"
+            "north rule grades, so any residual exact-sum overhead\n"
+            "vs `avg(double)` is kept.\n"
         )
     return report
 

@@ -30,8 +30,14 @@ order-sensitive float ops in the loop — a plain ``sum(double)`` folds
 in partition order, which varies with parallelism, so two runs (or
 two engines) can differ in the last ulp and the divergence compounds
 across rounds.  Both sums are therefore computed on a 1e-15 integer
-grid: each term is ``round(x · 10¹⁵) → bigint`` and the bigint sum is
-exact and order-insensitive.  Total rank mass is 1, so the scaled
+grid: each term is ``floor(x · 10¹⁵ + 0.5) → bigint`` and the bigint
+sum is exact and order-insensitive.  The quantizer is ``floor(x+0.5)``
+— identical to half-up rounding for these strictly positive terms —
+in BOTH engines, so the grid point is parity-by-construction (the
+same float64 ``x·10¹⁵ + 0.5`` is computed on both sides, then
+floored); it also stays a pure ``Math.floor`` inside whole-stage
+codegen on the Spark side where ``round(double, 0)`` would allocate a
+BigDecimal per edge per round.  Total rank mass is 1, so the scaled
 sums are bounded by ~10¹⁵ at ANY graph size — no overflow — and the
 quantization error (≤ 5e-16 per term) is far below the 0.85-damped
 fixpoint tolerance.  Every remaining op is a scalar double expression
@@ -115,8 +121,10 @@ def pagerank(
             .join(e, ranks.node == e.src, "inner")
             .select(
                 F.col("dst"),
-                F.round((F.col("rank") / F.col("deg")) * F.lit(SCALE), 0)
-                .cast("long").alias("cs"),
+                # same floor(x+0.5) quantizer as the dangling sum
+                # (hot: per-edge per-round)
+                F.floor((F.col("rank") / F.col("deg")) * F.lit(SCALE)
+                        + F.lit(0.5)).alias("cs"),
             )
             .groupBy("dst")
             .agg((F.sum("cs").cast("double") / F.lit(SCALE)).alias("contrib"))
@@ -174,12 +182,14 @@ def pagerank_doc_graph_sql(
     for t in range(1, n_iter + 1):
         p = t - 1
         parts.append(
-            f"d{t} AS MATERIALIZED (SELECT coalesce(sum(CAST(round(rank * 1e15) "
-            f"AS BIGINT)), 0) AS ds FROM r{p} WHERE deg IS NULL)"
+            # floor(x+0.5): the same quantizer expression as the Spark
+            # loop, so the grid point is parity-by-construction
+            f"d{t} AS MATERIALIZED (SELECT coalesce(sum(CAST(floor(rank * 1e15 "
+            f"+ 0.5) AS BIGINT)), 0) AS ds FROM r{p} WHERE deg IS NULL)"
         )
         parts.append(
             f"c{t} AS MATERIALIZED (SELECT e.dst, "
-            f"CAST(sum(CAST(round((rank / deg) * 1e15) AS BIGINT)) "
+            f"CAST(sum(CAST(floor((rank / deg) * 1e15 + 0.5) AS BIGINT)) "
             f"AS DOUBLE) / 1e15 AS contrib "
             f"FROM r{p} r JOIN e ON r.node = e.src "
             f"WHERE r.deg IS NOT NULL GROUP BY e.dst)"
