@@ -90,10 +90,14 @@ def _write_gdal_style(
     rows_per_strip: int | None = None,
     compress: bool = False, predictor: int = 1,
     planar: int = 1, bigtiff: bool = False,
+    byte_order: str = "<",
 ) -> None:
     """Minimal independent TIFF writer for GDAL-style layouts
     (classic magic-42, or BigTIFF magic-43 with 8-byte offsets,
-    20-byte entries and LONG8 strip/tile offset arrays)."""
+    20-byte entries and LONG8 strip/tile offset arrays; '<' II or
+    '>' MM byte order — the fp-predictor payload is byte-order
+    independent per TIFF TechNote 3)."""
+    bo = byte_order
     h, w = bands[0][1].shape
     n_bands = len(bands)
     arrs = [
@@ -107,7 +111,7 @@ def _write_gdal_style(
         if predictor == 3:
             raw = b"".join(_fp_predict(r) for r in rows_f32)
         else:
-            raw = rows_f32.astype("<f4").tobytes()
+            raw = rows_f32.astype(bo + "f4").tobytes()
         if compress == "lzw":
             return _test_lzw_encode(raw)
         return zlib.compress(raw) if compress else raw
@@ -174,18 +178,18 @@ def _write_gdal_style(
 
     entries = []
     INL = 8 if bigtiff else 4
-    cnt_fmt = "<Q" if bigtiff else "<I"
+    cnt_fmt = bo + ("Q" if bigtiff else "I")
 
     def entry(tag, typ, values):
         if bigtiff and typ == 4 and tag in (273, 279, 324, 325):
             typ = 16  # offset/count arrays as LONG8 — the BigTIFF shape
-        fmt = {3: "<H", 4: "<I", 12: "<d", 16: "<Q"}[typ]
+        fmt = {3: bo + "H", 4: bo + "I", 12: bo + "d", 16: bo + "Q"}[typ]
         raw = (values if isinstance(values, bytes)
                else b"".join(struct.pack(fmt, v) for v in values))
         count = (len(values) if isinstance(values, bytes) else len(values))
         if typ == 2:
             count = len(raw)
-        head = struct.pack("<HH", tag, typ) + struct.pack(cnt_fmt, count)
+        head = struct.pack(bo + "HH", tag, typ) + struct.pack(cnt_fmt, count)
         if len(raw) <= INL:
             entries.append(head + raw + b"\x00" * (INL - len(raw)))
         else:
@@ -222,7 +226,7 @@ def _write_gdal_style(
 
     # ascii tags via raw path
     def ascii_entry(tag, raw):
-        head = struct.pack("<HH", tag, 2) + struct.pack(cnt_fmt, len(raw))
+        head = struct.pack(bo + "HH", tag, 2) + struct.pack(cnt_fmt, len(raw))
         if len(raw) <= INL:
             entries.append(head + raw + b"\x00" * (INL - len(raw)))
         else:
@@ -231,14 +235,16 @@ def _write_gdal_style(
     ascii_entry(42112, meta_xml)
     ascii_entry(42113, nodata_ascii)
 
-    entries.sort(key=lambda e: struct.unpack("<H", e[:2])[0])
+    entries.sort(key=lambda e: struct.unpack(bo + "H", e[:2])[0])
     ifd_off = extra_base + len(extra) + (len(extra) % 2)
+    mark = b"II" if bo == "<" else b"MM"
     with open(path, "wb") as f:
         if bigtiff:
-            f.write(b"II" + struct.pack("<HHH", 43, 8, 0)
-                    + struct.pack("<Q", ifd_off))
+            f.write(mark + struct.pack(bo + "HHH", 43, 8, 0)
+                    + struct.pack(bo + "Q", ifd_off))
         else:
-            f.write(b"II" + struct.pack("<H", 42) + struct.pack("<I", ifd_off))
+            f.write(mark + struct.pack(bo + "H", 42)
+                    + struct.pack(bo + "I", ifd_off))
         f.write(payload)
         if len(payload) % 2:
             f.write(b"\x00")
@@ -246,11 +252,11 @@ def _write_gdal_style(
         if len(extra) % 2:
             f.write(b"\x00")
         if bigtiff:
-            f.write(struct.pack("<Q", len(entries)) + b"".join(entries)
-                    + struct.pack("<Q", 0))
+            f.write(struct.pack(bo + "Q", len(entries)) + b"".join(entries)
+                    + struct.pack(bo + "Q", 0))
         else:
-            f.write(struct.pack("<H", len(entries)) + b"".join(entries)
-                    + struct.pack("<I", 0))
+            f.write(struct.pack(bo + "H", len(entries)) + b"".join(entries)
+                    + struct.pack(bo + "I", 0))
 
 
 def _fixture_bands(h=37, w=53):
@@ -284,6 +290,16 @@ def _expected(bands, nodata=-9999.0):
          planar=1, bigtiff=True),
     dict(rows_per_strip=9, compress=True, predictor=3, planar=1,
          bigtiff=True),
+    # big-endian MM (round 5): plain samples follow the file order,
+    # the fp-predictor payload is byte-order independent
+    dict(rows_per_strip=8, compress=False, predictor=1, planar=1,
+         byte_order=">"),
+    dict(tiled=True, tile=(16, 16), compress=True, predictor=3,
+         planar=1, byte_order=">"),
+    dict(rows_per_strip=7, compress="lzw", predictor=1, planar=2,
+         byte_order=">"),
+    dict(tiled=True, tile=(32, 8), compress="lzw", predictor=3,
+         planar=2, bigtiff=True, byte_order=">"),
 ])
 def test_gdal_layout_variants_roundtrip(tmp_path, layout):
     bands = _fixture_bands()
@@ -314,11 +330,13 @@ def test_unsupported_layouts_fail_clearly(tmp_path):
     with pytest.raises(ValueError, match="malformed BigTIFF"):
         geotiff.read_geotiff(bp)
 
-    mm = b"MM" + data[2:]
-    mp = str(tmp_path / "mm.tif")
-    open(mp, "wb").write(mm)
-    with pytest.raises(ValueError, match="big-endian"):
-        geotiff.read_geotiff(mp)
+    # a byte-order mark that is neither II nor MM (real MM files are
+    # covered by the byte_order=">" layout variants above)
+    xx = b"XX" + data[2:]
+    xp = str(tmp_path / "xx.tif")
+    open(xp, "wb").write(xx)
+    with pytest.raises(ValueError, match="byte-order mark"):
+        geotiff.read_geotiff(xp)
 
     # PackBits compression id (32773) in the COMPRESSION tag — LZW
     # (5) is supported since round 5, PackBits stays a clear error

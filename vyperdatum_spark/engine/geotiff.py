@@ -322,8 +322,15 @@ def lzw_encode(raw: bytes) -> bytes:
 
 
 def _decode_block(raw: bytes, rows: int, row_samples: int,
-                  compression: int, predictor: int) -> np.ndarray:
-    """One strip/tile payload → (rows, row_samples) float32."""
+                  compression: int, predictor: int,
+                  byte_order: str = "<") -> np.ndarray:
+    """One strip/tile payload → (rows, row_samples) float32.
+
+    ``byte_order`` is the FILE's order ('<' II / '>' MM) and applies
+    only to plain (predictor-1) samples; the floating-point predictor
+    stores MSB-plane-first regardless of file order (TIFF TechNote 3 —
+    libtiff's fpDiff reorders to big-endian before differencing), so
+    the predictor-3 path is byte-order independent."""
     if compression in (8, 32946):  # Deflate / AdobeDeflate
         import zlib
 
@@ -343,12 +350,14 @@ def _decode_block(raw: bytes, rows: int, row_samples: int,
         )
     if predictor == 3:
         raw = _undo_fp_predictor(raw, rows, row_samples)
-    elif predictor != 1:
+        return np.frombuffer(raw, dtype="<f4").reshape(rows, row_samples)
+    if predictor != 1:
         raise ValueError(
             f"TIFF predictor {predictor} not supported for Float32 "
             "(supported: 1=none, 3=floating-point)"
         )
-    return np.frombuffer(raw, dtype="<f4").reshape(rows, row_samples)
+    return (np.frombuffer(raw, dtype=byte_order + "f4")
+            .reshape(rows, row_samples))
 
 
 def read_geotiff(path: str):
@@ -368,41 +377,45 @@ def read_geotiff(path: str):
     - Compression 1 (none), 5 (LZW — public-spec decoder, round 5) and
       8/32946 (DEFLATE), with Predictor 1 or 3 (the floating-point
       predictor, GDAL's PREDICTOR=3);
-    - clear errors for big-endian byte order, PackBits/JPEG
-      compression, and non-Float32 samples rather than silent
-      misreads.
+    - both byte orders (II little-endian — the GDAL default — and MM
+      big-endian, round 5; the floating-point predictor's byte planes
+      are MSB-first in either, per TIFF TechNote 3);
+    - clear errors for PackBits/JPEG compression and non-Float32
+      samples rather than silent misreads.
     """
     with open(path, "rb") as f:
         data = f.read()
-    if data[:2] == b"MM":
-        raise ValueError("big-endian (MM) TIFFs are not supported")
-    if data[:2] != b"II":
+    if data[:2] == b"II":
+        bo = "<"  # little-endian (Intel) — what GDAL writes by default
+    elif data[:2] == b"MM":
+        bo = ">"  # big-endian (Motorola) — legacy but valid TIFF 6.0
+    else:
         raise ValueError("not a TIFF (bad byte-order mark)")
-    magic = struct.unpack("<H", data[2:4])[0]
+    magic = struct.unpack(bo + "H", data[2:4])[0]
     if magic == 43:
         # BigTIFF (the public BigTIFF spec on top of TIFF 6.0): 8-byte
         # offsets, 8-byte counts, 20-byte IFD entries — what GDAL
         # emits for rasters past 4 GB (BIGTIFF=YES / =IF_SAFER)
-        osz, pad = struct.unpack("<HH", data[4:8])
+        osz, pad = struct.unpack(bo + "HH", data[4:8])
         if osz != 8 or pad != 0:
             raise ValueError(
                 f"malformed BigTIFF header (offset size {osz}, pad {pad})"
             )
-        (ifd_off,) = struct.unpack("<Q", data[8:16])
-        (n_entries,) = struct.unpack("<Q", data[ifd_off:ifd_off + 8])
+        (ifd_off,) = struct.unpack(bo + "Q", data[8:16])
+        (n_entries,) = struct.unpack(bo + "Q", data[ifd_off:ifd_off + 8])
         entry0, entry_sz, inline = ifd_off + 8, 20, 8
-        off_fmt = "<Q"
+        off_fmt = bo + "Q"
     elif magic == 42:
-        (ifd_off,) = struct.unpack("<I", data[4:8])
-        (n_entries,) = struct.unpack("<H", data[ifd_off:ifd_off + 2])
+        (ifd_off,) = struct.unpack(bo + "I", data[4:8])
+        (n_entries,) = struct.unpack(bo + "H", data[ifd_off:ifd_off + 2])
         entry0, entry_sz, inline = ifd_off + 2, 12, 4
-        off_fmt = "<I"
+        off_fmt = bo + "I"
     else:
         raise ValueError(f"not a TIFF (magic {magic})")
     tags: dict[int, tuple] = {}
     for i in range(int(n_entries)):
         off = entry0 + entry_sz * i
-        tag, typ = struct.unpack("<HH", data[off:off + 4])
+        tag, typ = struct.unpack(bo + "HH", data[off:off + 4])
         (count,) = struct.unpack(off_fmt, data[off + 4:off + 4 + inline])
         vfield = off + 4 + inline
         size = _TYPE_SIZE[typ] * count
@@ -416,7 +429,7 @@ def read_geotiff(path: str):
         else:
             fmt = {_TYPE_SHORT: "H", _TYPE_LONG: "I", _TYPE_DOUBLE: "d",
                    _TYPE_LONG8: "Q"}[typ]
-            vals = list(struct.unpack(f"<{count}{fmt}", raw))
+            vals = list(struct.unpack(f"{bo}{count}{fmt}", raw))
         tags[tag] = vals
     w = tags[IMAGE_WIDTH][0]
     h = tags[IMAGE_LENGTH][0]
@@ -450,7 +463,7 @@ def read_geotiff(path: str):
                     idx = p * per_plane + ty * across + txi
                     raw = data[offsets[idx]:offsets[idx] + counts[idx]]
                     block = _decode_block(raw, th, samples,
-                                          compression, predictor)
+                                          compression, predictor, bo)
                     y0, x0 = ty * th, txi * tw
                     ys, xs = min(th, h - y0), min(tw, w - x0)
                     if planar == 2:
@@ -474,7 +487,7 @@ def read_geotiff(path: str):
                 rows = min(rps, h - y0)
                 raw = data[offsets[idx]:offsets[idx] + counts[idx]]
                 block = _decode_block(raw, rows, samples,
-                                      compression, predictor)
+                                      compression, predictor, bo)
                 if planar == 2:
                     planes[p, y0:y0 + rows] = block
                 else:
