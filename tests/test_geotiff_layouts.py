@@ -420,3 +420,86 @@ def test_tiled_tiff_through_raster_to_points(spark, tmp_path, compress):
         np.nan_to_num(a.z_out.to_numpy(dtype=float), nan=-9e9),
         np.nan_to_num(b.z_out.to_numpy(dtype=float), nan=-9e9),
     )
+
+
+@pytest.mark.parametrize("compression,predictor", [
+    (None, 1),
+    ("deflate", 1),
+    ("deflate", 3),
+    ("lzw", 1),
+    ("lzw", 3),
+])
+def test_writer_compression_roundtrip(tmp_path, compression, predictor):
+    """Round-5 write parity: the engine WRITER emits COMPRESS=DEFLATE /
+    COMPRESS=LZW (+PREDICTOR=3) layouts that its own reader — and, by
+    the layout-variant tests above, any spec reader — round-trips
+    bit-exactly."""
+    bands = _fixture_bands()
+    p = str(tmp_path / "w.tif")
+    geotiff.write_geotiff(
+        p, bands, -77.5, 34.8, 0.01, -0.01,
+        compression=compression, predictor=predictor,
+    )
+    got, meta = geotiff.read_geotiff(p)
+    exp = _expected(bands)
+    assert meta["compression"] == {None: 1, "deflate": 8, "lzw": 5}[compression]
+    assert meta["predictor"] == predictor
+    assert (meta["origin_x"], meta["origin_y"]) == (-77.5, 34.8)
+    for name, arr in exp.items():
+        assert np.array_equal(got[name], arr), name
+
+
+def test_writer_fp_predictor_inverts_and_compresses(tmp_path):
+    """The forward fp-predictor is the exact inverse of the reader's
+    decode, and on a smooth separation-style surface predictor-3 +
+    deflate beats plain deflate (the reason GDAL defaults to it)."""
+    rng = np.random.default_rng(7)
+    h, w = 64, 96
+    raw = rng.normal(scale=2.0, size=(h, w)).astype("<f4").tobytes()
+    fwd = geotiff._apply_fp_predictor(raw, h, w)
+    assert geotiff._undo_fp_predictor(fwd, h, w) == raw
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    smooth = (0.001 * xx + 0.002 * yy + 5.0).astype(np.float32)
+    plain = str(tmp_path / "plain.tif")
+    pred = str(tmp_path / "pred.tif")
+    geotiff.write_geotiff(plain, [("z", smooth)], 0.0, 1.0, 0.01, -0.01,
+                          compression="deflate", predictor=1)
+    geotiff.write_geotiff(pred, [("z", smooth)], 0.0, 1.0, 0.01, -0.01,
+                          compression="deflate", predictor=3)
+    import os
+    assert os.path.getsize(pred) < os.path.getsize(plain)
+    a, _ = geotiff.read_geotiff(plain)
+    b, _ = geotiff.read_geotiff(pred)
+    assert np.array_equal(a["z"], b["z"])
+
+
+def test_export_band_table_compressed(spark, tmp_path):
+    """S6 sink end-to-end with compression: band table → compressed
+    GeoTIFF export → read back equals the uncompressed export."""
+    from vyperdatum_spark.engine import sinks
+
+    h, w = 19, 23
+    rng = np.random.default_rng(13)
+    z = rng.normal(size=(h, w)).astype(np.float64)
+    z[2, 3] = np.nan
+    pts = raster.raster_to_points(
+        spark, -77.5, 34.8, 0.01, -0.01, w, h,
+        np.where(np.isnan(z), -9999.0, z), nodata=-9999.0,
+    )
+    tbl = str(tmp_path / "band_table")
+    sinks.to_band_table(
+        pts.withColumnRenamed("value", "z_out"), tbl,
+        bands=("z_out",), width=w, height=h,
+        origin_x=-77.5, origin_y=34.8, dx=0.01, dy=-0.01,
+        nodata=-9999.0,
+    )
+    plain = str(tmp_path / "plain.tif")
+    comp = str(tmp_path / "comp.tif")
+    geotiff.export_band_table(spark, tbl, plain)
+    geotiff.export_band_table(spark, tbl, comp,
+                              compression="lzw", predictor=3)
+    a, am = geotiff.read_geotiff(plain)
+    b, bm = geotiff.read_geotiff(comp)
+    assert bm["compression"] == 5 and bm["predictor"] == 3
+    assert np.array_equal(a["z_out"], b["z_out"])

@@ -18,7 +18,11 @@ Layout written (classic little-endian TIFF):
 - GeoTIFF tags: ModelPixelScale (33550), ModelTiepoint (33922), a
   minimal GeoKeyDirectory (34735, geographic model);
 - GDAL-convention tags: GDAL_METADATA (42112) carrying band
-  descriptions, GDAL_NODATA (42113).
+  descriptions, GDAL_NODATA (42113);
+- optional write-side compression (round 5, GDAL creation-option
+  parity): COMPRESS=DEFLATE (tag 8) or LZW (tag 5), each with
+  PREDICTOR=3 (the TechNote-3 floating-point predictor) — the same
+  layouts the reader ingests, so the sink and source are symmetric.
 """
 
 from __future__ import annotations
@@ -67,13 +71,34 @@ def write_geotiff(
     dx: float,
     dy: float,
     nodata: float = -9999.0,
+    compression: str | None = None,
+    predictor: int = 1,
 ) -> None:
     """Write named float bands (each (h, w)) as one multi-band
     baseline GeoTIFF. ``dy`` is the signed GDAL geotransform value
     (negative for north-up); the pixel-scale tag stores |dy| per spec.
-    NaNs are replaced by ``nodata`` (reference raster.py:520-521)."""
+    NaNs are replaced by ``nodata`` (reference raster.py:520-521).
+
+    ``compression``: None (default, uncompressed strips), 'deflate'
+    (tag value 8 — GDAL COMPRESS=DEFLATE) or 'lzw' (tag value 5,
+    TIFF 6.0 §13 — GDAL's long-time float-raster default, round-5
+    write parity with the reader).  ``predictor``: 1 (none) or 3
+    (the TIFF TechNote 3 floating-point horizontal predictor, GDAL
+    PREDICTOR=3 — byte-plane differencing that makes smooth
+    separation surfaces compress far better)."""
     if not bands:
         raise ValueError("at least one band required")
+    comp_tag = {None: 1, "none": 1, "deflate": 8, "lzw": 5}.get(compression)
+    if comp_tag is None:
+        raise ValueError(
+            f"compression {compression!r} not supported "
+            "(supported: None, 'deflate', 'lzw')"
+        )
+    if predictor not in (1, 3):
+        raise ValueError(
+            f"predictor {predictor} not supported for Float32 "
+            "(supported: 1=none, 3=floating-point)"
+        )
     if dy > 0:
         # the baseline layout encodes orientation by the north-up
         # convention (ModelPixelScale is unsigned per spec); a south-up
@@ -91,9 +116,17 @@ def write_geotiff(
         if a.shape != (h, w):
             raise ValueError(f"band {name!r} shape {a.shape} != {(h, w)}")
         a = np.where(np.isnan(a), np.float32(nodata), a)
-        planes.append(a.tobytes())  # row-major, native little-endian
+        raw = a.tobytes()  # row-major, native little-endian
+        if predictor == 3:
+            raw = _apply_fp_predictor(raw, h, w)
+        if comp_tag == 8:
+            import zlib
+
+            raw = zlib.compress(raw)
+        elif comp_tag == 5:
+            raw = lzw_encode(raw)
+        planes.append(raw)
     n_bands = len(bands)
-    plane_bytes = h * w * 4
 
     # out-of-line payloads land after the 8-byte header, data after
     meta_xml = "<GDALMetadata>\n" + "".join(
@@ -146,13 +179,17 @@ def write_geotiff(
         entry(IMAGE_WIDTH, _TYPE_LONG, [w]),
         entry(IMAGE_LENGTH, _TYPE_LONG, [h]),
         entry(BITS_PER_SAMPLE, _TYPE_SHORT, [32] * n_bands),
-        entry(COMPRESSION, _TYPE_SHORT, [1]),
+        entry(COMPRESSION, _TYPE_SHORT, [comp_tag]),
         entry(PHOTOMETRIC, _TYPE_SHORT, [1]),
         entry(STRIP_OFFSETS, _TYPE_LONG, strip_offsets),
         entry(SAMPLES_PER_PIXEL, _TYPE_SHORT, [n_bands]),
         entry(ROWS_PER_STRIP, _TYPE_LONG, [h]),
-        entry(STRIP_BYTE_COUNTS, _TYPE_LONG, [plane_bytes] * n_bands),
+        entry(STRIP_BYTE_COUNTS, _TYPE_LONG, [len(p) for p in planes]),
         entry(PLANAR_CONFIG, _TYPE_SHORT, [2]),
+    ]
+    if predictor == 3:
+        entries.append(entry(PREDICTOR, _TYPE_SHORT, [3]))
+    entries += [
         entry(SAMPLE_FORMAT, _TYPE_SHORT, [3] * n_bands),
         entry(MODEL_PIXEL_SCALE, _TYPE_DOUBLE, [dx, abs(dy), 0.0]),
         entry(MODEL_TIEPOINT, _TYPE_DOUBLE,
@@ -191,6 +228,24 @@ def _undo_fp_predictor(raw: bytes, rows: int, row_samples: int) -> bytes:
         .astype("<f4")
         .tobytes()
     )
+
+
+def _apply_fp_predictor(raw: bytes, rows: int, row_samples: int) -> bytes:
+    """Forward TIFF floating-point horizontal predictor (tag 317
+    value 3) — the encode twin of ``_undo_fp_predictor``: per row,
+    split each little-endian Float32 sample into its 4 bytes, store
+    MSB-plane-first (TIFF TechNote 3 — big-endian planes regardless
+    of file byte order), then horizontal byte-difference the row."""
+    arr = (np.frombuffer(raw, dtype="<f4")
+           .reshape(rows, row_samples)
+           .astype(">f4"))
+    planes = (np.frombuffer(arr.tobytes(), dtype=np.uint8)
+              .reshape(rows, row_samples, 4)
+              .transpose(0, 2, 1))  # (rows, 4 byte-planes, samples)
+    buf = np.ascontiguousarray(planes).reshape(rows, row_samples * 4)
+    diffed = buf.copy()
+    diffed[:, 1:] -= buf[:, :-1]  # uint8 subtraction wraps mod 256
+    return diffed.tobytes()
 
 
 def _lzw_decode(raw: bytes) -> bytes:
@@ -526,11 +581,15 @@ def read_geotiff(path: str):
     return bands, meta
 
 
-def export_band_table(spark, table_path: str, out_tif: str) -> None:
+def export_band_table(spark, table_path: str, out_tif: str,
+                      compression: str | None = None,
+                      predictor: int = 1) -> None:
     """The GeoTIFF export endpoint over the cluster band table: read
     each band back (driver-side strip reassembly, sinks.read_band) and
     emit the .tif — the exact analog of the reference's final
-    ``_write_gdal_geotiff`` call after the distributed transform."""
+    ``_write_gdal_geotiff`` call after the distributed transform.
+    ``compression``/``predictor`` pass through to ``write_geotiff``
+    (GDAL creation-option parity: COMPRESS=DEFLATE|LZW, PREDICTOR=3)."""
     from . import sinks
 
     first_meta = None
@@ -547,5 +606,5 @@ def export_band_table(spark, table_path: str, out_tif: str) -> None:
     m = first_meta
     write_geotiff(
         out_tif, bands, m["origin_x"], m["origin_y"], m["dx"], m["dy"],
-        nodata=m["nodata"],
+        nodata=m["nodata"], compression=compression, predictor=predictor,
     )
