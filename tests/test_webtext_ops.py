@@ -151,6 +151,30 @@ def test_semantic_dedup_matches_numpy(spark):
     assert not got.loc[45, "keep"] and got.loc[12, "keep"]
 
 
+def test_semantic_dedup_salted_parity(spark):
+    """The salt skew lever (BENCH/ANN.md hot-block note) splits each
+    cell's pair space across sub-blocks without changing it: salted
+    verdicts are IDENTICAL to the unsalted plan's, and a hot cell's
+    b-side is spread across all salt sub-block keys."""
+    rng = np.random.default_rng(33)
+    vecs = rng.standard_normal((80, similarity.EMB_DIM)).astype(np.float32)
+    # plant a hot cell: 30 near-copies of one vector land together
+    for i in range(30):
+        vecs[50 + i] = vecs[7] + rng.normal(scale=0.01, size=similarity.EMB_DIM).astype(np.float32)
+    df = spark.createDataFrame(
+        [(int(i), v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    plain = (similarity.semantic_dedup(df, threshold=0.3)
+             .toPandas().sort_values("vec_id").reset_index(drop=True))
+    for s in (2, 5):
+        salted = (similarity.semantic_dedup(df, threshold=0.3, salt=s)
+                  .toPandas().sort_values("vec_id").reset_index(drop=True))
+        assert salted.equals(plain), f"salt={s}"
+    with __import__("pytest").raises(ValueError, match="salt"):
+        similarity.semantic_dedup(df, salt=0)
+
+
 def test_ann_bruteforce_topk_is_exact(spark):
     rng = np.random.default_rng(9)
     vecs = rng.standard_normal((30, 8)).astype(np.float32)

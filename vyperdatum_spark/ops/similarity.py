@@ -617,7 +617,7 @@ def _cell_assign(df: DataFrame, id_col: str, emb_col: str) -> DataFrame:
 
 def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
                    emb_col: str = "embedding",
-                   threshold: float = 0.3) -> DataFrame:
+                   threshold: float = 0.3, salt: int = 1) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): embeddings are clustered by nearest centroid,
     and within each cluster a vector is DROPPED iff some lower-id
@@ -644,7 +644,19 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
     physical plan). The remaining scan is the verdict join-back,
     which column-pruning reduces to (id, cell) — at petabyte scale
     persist the assignment explicitly if even that pass matters.
+
+    ``salt`` (skew lever, BENCH/ANN.md "skew note for 100 TB" made
+    code): with salt=s > 1 each cell's O(|cell|²) pair space is split
+    across s sub-blocks — side b gets a deterministic sub-block key
+    xxhash64(id) % s, side a is replicated once per sub-block, and
+    the self-join key becomes (cell, sub-block). Per-task work drops
+    to |cell|²/s (the straggler bound under clustered embeddings)
+    for an s× replication of the smaller a-projection; the pair
+    space — and therefore the output — is EXACTLY the unsalted one
+    (parity-asserted in tests/test_webtext_ops.py).
     """
+    if salt < 1:
+        raise ValueError(f"salt must be >= 1, got {salt}")
     base = _cell_assign(df, id_col, emb_col).repartition(F.col("cell"))
     a = base.select(
         F.col("cell"),
@@ -656,12 +668,21 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
         F.col(id_col).alias("_ib"), F.col(emb_col).alias("_eb"),
         F.col("nrm").alias("_nb"),
     )
+    join_key = ["cell"]
+    if salt > 1:
+        sub = F.pmod(F.xxhash64(F.col("_ib")), F.lit(salt)).cast("int")
+        b = b.withColumn("_sub", sub)
+        a = a.withColumn(
+            "_sub",
+            F.explode(F.array(*[F.lit(j) for j in range(salt)])),
+        )
+        join_key = ["cell", "_sub"]
     cos = F.round(
         dot_col(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb")),
         6,
     )
     drops = (
-        a.join(b, "cell")
+        a.join(b, join_key)
         .filter(F.col("_ia") < F.col("_ib"))
         .filter(cos >= threshold)
         .select(F.col("_ib").alias(id_col))
