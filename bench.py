@@ -97,7 +97,7 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def run_queries(sf_dir: str) -> dict:
+def run_queries(sf_dir: str, only: set[str] | None = None) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entry
     from vyperdatum_spark.session import get_spark
@@ -120,6 +120,8 @@ def run_queries(sf_dir: str) -> dict:
     timings: dict[str, float] = {}
     for _ in range(2):
         for name in HEADLINE:
+            if only and name not in only:
+                continue
             t0 = time.perf_counter()
             _materialize(qs[name](spark, sf_dir))
             sec = round(time.perf_counter() - t0, 3)
@@ -1068,7 +1070,9 @@ def main() -> None:
         raise SystemExit(f"unknown flag {sys.argv[1]!r}; see module docstring")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    timings = run_queries(sf_dir)
+    # optional positional query names: bench only that subset (quiet
+    # re-measure of specific queries; the driver passes no args)
+    timings = run_queries(sf_dir, only=set(sys.argv[1:]) or None)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

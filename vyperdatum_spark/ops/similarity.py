@@ -598,16 +598,36 @@ def cosine_dup_pairs_sql(table: str = "embeddings", id_col: str = "vec_id",
 
 
 # ---------------------------------------------------- semantic dedup
-def _cell_assign(df: DataFrame, id_col: str, emb_col: str) -> DataFrame:
+def _cell_assign(df: DataFrame, id_col: str, emb_col: str,
+                 centroids: list[list[float]] | None = None,
+                 strategy: str = "auto") -> DataFrame:
     """(id, emb, nrm, cell): nearest-centroid assignment, one codegen
     pass of literal column math (shared by IVF ANN and SemDeDup).
     The norm is INLINED into each cosine slot (see
     centroid_cos_array_col's codegen note); runtime subexpression
-    elimination shares the copies."""
+    elimination shares the copies.
+
+    ``centroids`` None → the seeded module codebook (memoized literal
+    path, the oracle-gated default).  A runtime codebook (k-means
+    output) scores via ``trained_cos_array_col`` while k×dim fits the
+    codegen budget and the broadcast Arrow kernel past it
+    (``pick_strategy`` — so SemDeDup holds at real embedding dims)."""
+    if centroids is None:
+        ca = centroid_cos_array_col(emb_col, norm_spark_sql(emb_col))
+    else:
+        from .embkernel import centroid_cos_broadcast_col, pick_strategy
+
+        strategy = pick_strategy(len(centroids), len(centroids[0]),
+                                 strategy)
+        if strategy == "broadcast":
+            ca = centroid_cos_broadcast_col(df, centroids, emb_col)
+        else:
+            ca = trained_cos_array_col(emb_col, norm_spark_sql(emb_col),
+                                       centroids)
     return df.select(
         F.col(id_col), F.col(emb_col),
         norm_col(F.col(emb_col)).alias("nrm"),
-        centroid_cos_array_col(emb_col, norm_spark_sql(emb_col)).alias("_ca"),
+        ca.alias("_ca"),
     ).select(
         id_col, emb_col, "nrm",
         F.array_position(F.col("_ca"), F.array_max(F.col("_ca")))
@@ -617,7 +637,9 @@ def _cell_assign(df: DataFrame, id_col: str, emb_col: str) -> DataFrame:
 
 def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
                    emb_col: str = "embedding",
-                   threshold: float = 0.3, salt: int = 1) -> DataFrame:
+                   threshold: float = 0.3, salt: int = 1,
+                   centroids: list[list[float]] | None = None,
+                   strategy: str = "auto") -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): embeddings are clustered by nearest centroid,
     and within each cluster a vector is DROPPED iff some lower-id
@@ -657,7 +679,8 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
     """
     if salt < 1:
         raise ValueError(f"salt must be >= 1, got {salt}")
-    base = _cell_assign(df, id_col, emb_col).repartition(F.col("cell"))
+    base = _cell_assign(df, id_col, emb_col, centroids,
+                        strategy).repartition(F.col("cell"))
     a = base.select(
         F.col("cell"),
         F.col(id_col).alias("_ia"), F.col(emb_col).alias("_ea"),
@@ -714,4 +737,74 @@ def semantic_dedup_sql(table: str = "embeddings", id_col: str = "vec_id",
         f"WHERE _ia < _ib AND ROUND({cos}, 6) >= {threshold!r}) "
         f"SELECT {id_col}, cell, (_ib IS NULL) AS keep "
         f"FROM base LEFT JOIN drops ON {id_col} = _ib"
+    )
+
+
+def semantic_dedup_trained(df: DataFrame, id_col: str = "vec_id",
+                           emb_col: str = "embedding",
+                           threshold: float = 0.3, k_clusters: int = 8,
+                           iters: int = 2, dim: int = EMB_DIM,
+                           strategy: str = "auto",
+                           salt: int = 1) -> DataFrame:
+    """SemDeDup as the paper actually runs it (arXiv:2303.09540 §3):
+    k-means is TRAINED on the corpus in-job (``ops/clustering``
+    Lloyd's, the same trainer the IVF index uses), then duplicates
+    are dropped within the trained clusters — cluster sizing tracks
+    the data instead of a fixed seeded codebook.  ``strategy`` routes
+    the k_clusters×dim scoring between literal codegen and the
+    broadcast Arrow kernel exactly as in ``ann_ivf_trained_topk``, so
+    the composition holds at real embedding dimensions; ``salt``
+    passes through as the hot-cluster skew lever."""
+    from .clustering import kmeans_train
+
+    cents = kmeans_train(df, k=k_clusters, iters=iters, id_col=id_col,
+                         emb_col=emb_col, dim=dim, strategy=strategy)
+    return semantic_dedup(df, id_col=id_col, emb_col=emb_col,
+                          threshold=threshold, salt=salt,
+                          centroids=cents, strategy=strategy)
+
+
+def semantic_dedup_trained_sql(table: str = "embeddings",
+                               id_col: str = "vec_id",
+                               emb_col: str = "embedding",
+                               threshold: float = 0.3,
+                               k_clusters: int = 8, iters: int = 2,
+                               dim: int = EMB_DIM) -> str:
+    """Oracle: the k-means training CTE chain (bit-identical to the
+    Spark trainer) feeds a cosine-argmax assignment (the trained-IVF
+    oracle's cellcos/crk=1 pattern), then the within-cell lower-id
+    drop rule of ``semantic_dedup_sql``."""
+    from .clustering import kmeans_ctes
+
+    parts, cfinal = kmeans_ctes(table, k_clusters, iters, id_col,
+                                emb_col, dim)
+    cdot = (f"(0.0 + list_reduce(list_transform(generate_series(1, {dim}), "
+            f"i -> CAST(b.e[i] AS DOUBLE) * t.cent[i]), (x, y) -> x + y))")
+    cnorm = (f"sqrt(0.0 + list_reduce(list_transform("
+             f"generate_series(1, {dim}), i -> cent[i] * cent[i]), "
+             f"(x, y) -> x + y))")
+    vnorm_terms = (f"list_transform(generate_series(1, {dim}), "
+                   f"i -> CAST(e[i] AS DOUBLE) * CAST(e[i] AS DOUBLE))")
+    vnorm = f"sqrt(0.0 + list_reduce({vnorm_terms}, (x, y) -> x + y))"
+    ccos = f"({cdot} / (b.nrm * t.cnorm))"
+    cos = cosine_sql("_ea", "_eb")
+    parts += [
+        (f"codebook AS (SELECT cluster, cent, {cnorm} AS cnorm "
+         f"FROM {cfinal})"),
+        f"vecs AS (SELECT vid, e, {vnorm} AS nrm FROM emb)",
+        (f"cellcos AS (SELECT b.vid, b.e, t.cluster, "
+         f"row_number() OVER (PARTITION BY b.vid "
+         f"ORDER BY {ccos} DESC, t.cluster) AS crk "
+         f"FROM vecs b CROSS JOIN codebook t)"),
+        ("assigned AS (SELECT vid, e, CAST(cluster AS INT) AS cell "
+         "FROM cellcos WHERE crk = 1)"),
+        "pa AS (SELECT cell, vid AS _ia, e AS _ea FROM assigned)",
+        "pb AS (SELECT cell, vid AS _ib, e AS _eb FROM assigned)",
+        (f"drops AS (SELECT DISTINCT _ib FROM pa JOIN pb USING (cell) "
+         f"WHERE _ia < _ib AND ROUND({cos}, 6) >= {threshold!r})"),
+    ]
+    return (
+        "WITH " + ", ".join(parts) +
+        f" SELECT vid AS {id_col}, cell, (_ib IS NULL) AS keep "
+        f"FROM assigned LEFT JOIN drops ON vid = _ib"
     )

@@ -152,20 +152,37 @@ def langid_trigram_df(df: DataFrame, id_col: str = "doc_id",
     is boundary-padded, its DISTINCT trigrams intersected with each
     language's profile, argmax with the same struct tie-break as
     langid_df. Zero shuffle; the per-language filters are HOFs
-    (CodegenFallback), bounded by O(distinct trigrams × profile)."""
-    t = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    (CodegenFallback), bounded by O(distinct trigrams × profile).
+
+    Both the padded text and the distinct-trigram array are STAGED
+    projections (r5): the trigram lambda's ``substr`` over an inlined
+    concat∘lower re-lowers the whole text once per POSITION (O(n²)
+    chars/doc), and the per-language filters would each re-build the
+    trigram array (lambda bodies and repeated HOF inputs re-evaluate
+    inlined subtrees; multi-referenced non-cheap aliases survive
+    CollapseProject)."""
+    staged_t = df.select(
+        F.col(id_col),
+        F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+        .alias("_t3"),
+    )
+    t = F.col("_t3")
     n3 = F.length(t) - 2
-    tris = F.array_distinct(F.transform(
-        F.when(n3 >= 1, F.sequence(F.lit(1), n3))
-        .otherwise(F.array().cast("array<int>")),
-        lambda i: t.substr(i, F.lit(3)),
-    ))
+    staged_tris = staged_t.select(
+        F.col(id_col),
+        F.array_distinct(F.transform(
+            F.when(n3 >= 1, F.sequence(F.lit(1), n3))
+            .otherwise(F.array().cast("array<int>")),
+            lambda i: t.substr(i, F.lit(3)),
+        )).alias("_tris"),
+    )
+    tris = F.col("_tris")
     scores = []
     for lang, prof in _trigram_profiles().items():
         cnt = F.size(F.filter(tris, lambda g: g.isin(*prof)))
         scores.append(F.struct(cnt.alias("score"), F.lit(lang).alias("lang")))
     best = F.greatest(*scores)
-    return df.select(
+    return staged_tris.select(
         F.col(id_col),
         best["lang"].alias("pred_lang"),
         best["score"].cast("long").alias("tri_hits"),
@@ -202,14 +219,22 @@ GOPHER_MAX_DUP_WORD_FRAC = 0.75
 GOPHER_WORD_LEN_RANGE = (2.0, 12.0)
 
 
-def repetition_cols(text: Column) -> dict[str, Column]:
+def repetition_cols(text: Column,
+                    toks: Column | None = None) -> dict[str, Column]:
     """Repetition signals + the composite Gopher keep decision as
     reusable column expressions (pure column math, zero shuffle).
 
     top_word_frac (share of the modal token) is computed as a fold
     over the DISTINCT token list counting occurrences in the full
-    list — O(d·n) per doc on both engines, bounded by doc length."""
-    toks = _toks(text)
+    list — O(d·n) per doc on both engines, bounded by doc length.
+
+    Pass ``toks`` as a STAGED column when the caller can project one
+    (r5 perf): the top_cnt fold's inner ``F.filter(toks, …)`` sits in
+    a lambda body, and lambda bodies re-evaluate inlined subtrees per
+    element — with an inlined split() that is one full re-split of
+    the text per DISTINCT TOKEN (measured 3× on text_repetition at
+    sf0.1; same trap as dedup.shingles_from_tokens)."""
+    toks = _toks(text) if toks is None else toks
     dtoks = F.array_distinct(toks)
     n_words = F.size(toks)
     n_distinct = F.size(dtoks)
@@ -246,8 +271,10 @@ def repetition_df(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """(id, n_words, n_distinct_words, dup_word_frac, top_word_frac,
     gopher_keep) — repetition_cols projected per document."""
-    cols = repetition_cols(F.col(text_col))
-    return df.select(
+    staged = df.select(F.col(id_col), F.col(text_col),
+                       _toks(F.col(text_col)).alias("_tk"))
+    cols = repetition_cols(F.col(text_col), toks=F.col("_tk"))
+    return staged.select(
         F.col(id_col), *[c.alias(n) for n, c in cols.items()]
     )
 
@@ -299,17 +326,22 @@ def top_ngrams(df: DataFrame, n: int = 2, k: int = 20,
     shuffle with map-side partial aggregation → a k-row ordered take.
     The final global sort is over the aggregated (distinct-ngram)
     table, not the corpus."""
-    toks = _toks(F.col(text_col))
-    n_pos = F.size(toks) - (n - 1)
+    # token array STAGED below the Generate: lambda bodies re-evaluate
+    # inlined subtrees per element, so slicing an inlined split() is
+    # O(n_tokens²) string splitting per doc (dedup.shingles_from_tokens
+    # documents the same trap; staged here r5)
+    staged = df.select(_toks(F.col(text_col)).alias("_tk"))
+    tk = F.col("_tk")
+    n_pos = F.size(tk) - (n - 1)
     grams = F.transform(
         F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos))
         .otherwise(F.array().cast("array<int>")),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
+        lambda i: F.array_join(F.slice(tk, i, n), " "),
     )
-    ex = df.select(F.explode(grams).alias("ngram"))
+    ex = staged.select(F.explode(grams).alias("ngram"))
     agg = ex.groupBy("ngram").agg(F.count("*").alias("n_occurrences"))
     docs = (
-        df.select(F.explode(F.array_distinct(grams)).alias("ngram"))
+        staged.select(F.explode(F.array_distinct(grams)).alias("ngram"))
         .groupBy("ngram").agg(F.count("*").alias("n_docs"))
     )
     return (
@@ -643,17 +675,21 @@ def lm_score_df(df: DataFrame, id_col: str = "doc_id",
     scale, drop the hint and pre-partition both sides by gram. The
     per-doc sum folds a sorted array left-to-right so Spark and
     DuckDB agree bit-for-bit regardless of join/aggregation order."""
-    toks = _toks(F.col(text_col))
-    n_pos = F.size(toks) - 1
+    # token array STAGED below the Generate (r5): the bigram lambda's
+    # slice over an inlined split() re-evaluates the split per bigram
+    # — O(n_tokens²) per doc (same trap as dedup.shingles_from_tokens)
+    staged = df.select(F.col(id_col), _toks(F.col(text_col)).alias("_tk"))
+    tk = F.col("_tk")
+    n_pos = F.size(tk) - 1
     grams = F.transform(
         F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos))
         .otherwise(F.array().cast("array<int>")),
-        lambda i: F.array_join(F.slice(toks, i, 2), " "),
+        lambda i: F.array_join(F.slice(tk, i, 2), " "),
     )
     # explode_outer + filter: the inner-explode codegen path
     # re-evaluates its input per OUTPUT element (O(n^2) per doc)
     ex = (
-        df.select(F.col(id_col), F.explode_outer(grams).alias("gram"))
+        staged.select(F.col(id_col), F.explode_outer(grams).alias("gram"))
         .filter(F.col("gram").isNotNull())
     )
     c2 = (
@@ -748,15 +784,18 @@ def dup_substring_spans(df: DataFrame, id_col: str = "doc_id",
     combine would not shrink that shuffle anyway) — then the
     surviving-hit minority flows into the per-doc window + island
     agg, which share one (id) shuffle. No Python, no all-pairs."""
-    toks = _toks(F.col(text_col))
-    n_pos = F.size(toks) - (k - 1)
+    # token array STAGED below the Generate (r5): slicing an inlined
+    # split() inside the k-gram lambda is O(n_tokens²) splits per doc
+    staged = df.select(F.col(id_col), _toks(F.col(text_col)).alias("_tk"))
+    tk = F.col("_tk")
+    n_pos = F.size(tk) - (k - 1)
     grams = F.transform(
         F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos))
         .otherwise(F.array().cast("array<int>")),
-        lambda i: F.array_join(F.slice(toks, i, k), " "),
+        lambda i: F.array_join(F.slice(tk, i, k), " "),
     )
     ex = (
-        df.select(
+        staged.select(
             F.col(id_col),
             F.posexplode_outer(grams).alias("_p0", "_g"),
         )

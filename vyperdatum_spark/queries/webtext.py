@@ -490,6 +490,8 @@ def q_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text_out"),
     )
     red = pii_ops.pii_annotate(ext, "text_out")
+    # gopher_keep/n_words only — neither contains the top_cnt fold,
+    # so no token staging is needed here (see repetition_cols)
     rep = ts.repetition_cols(F.col("clean_text"))
     kept = red.withColumn("n_words", rep["n_words"]).filter(
         rep["gopher_keep"]
@@ -685,6 +687,11 @@ def queries() -> dict:
         # SemDeDup (arXiv:2303.09540): centroid-blocked semantic dedup
         # with an auditable per-row keep/drop verdict
         "dedup_semantic": lambda s, d: similarity.semantic_dedup(_embs(s, d)),
+        # SemDeDup as the paper runs it: cluster on k-means TRAINED
+        # in-job (the IVF trainer), then drop within trained clusters
+        "dedup_semantic_trained": lambda s, d: similarity.semantic_dedup_trained(
+            _embs(s, d)
+        ),
         "ann_bruteforce_topk": lambda s, d: similarity.ann_bruteforce_topk(
             _embs(s, d)
         ),
@@ -805,6 +812,7 @@ def oracle_sql() -> dict:
             table=DUPS_SQL, threshold=0.5),
         "dedup_embedding_cosine": similarity.cosine_dup_pairs_sql(threshold=0.35),
         "dedup_semantic": similarity.semantic_dedup_sql(),
+        "dedup_semantic_trained": similarity.semantic_dedup_trained_sql(),
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk_sql(),
         "ann_lsh_topk": similarity.ann_lsh_topk_sql(),
         "ann_lsh_multi_topk": similarity.ann_lsh_multi_topk_sql(),
