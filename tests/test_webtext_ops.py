@@ -175,6 +175,31 @@ def test_semantic_dedup_salted_parity(spark):
         similarity.semantic_dedup(df, salt=0)
 
 
+def test_semantic_dedup_trained_strategy_parity(spark):
+    """SemDeDup over an in-job-trained k-means codebook (the paper's
+    actual flow): the literal-codegen and broadcast-Arrow-kernel
+    scoring strategies produce IDENTICAL verdicts, and the planted
+    near-duplicate family collapses to one keeper."""
+    rng = np.random.default_rng(41)
+    vecs = rng.standard_normal((70, similarity.EMB_DIM)).astype(np.float32)
+    for i in range(12):  # planted near-dup family
+        vecs[40 + i] = vecs[9] + rng.normal(
+            scale=0.005, size=similarity.EMB_DIM).astype(np.float32)
+    df = spark.createDataFrame(
+        [(int(i), v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    lit = (similarity.semantic_dedup_trained(
+        df, threshold=0.95, k_clusters=4, iters=2, strategy="literal")
+        .toPandas().sort_values("vec_id").reset_index(drop=True))
+    brd = (similarity.semantic_dedup_trained(
+        df, threshold=0.95, k_clusters=4, iters=2, strategy="broadcast")
+        .toPandas().sort_values("vec_id").reset_index(drop=True))
+    assert brd.equals(lit)
+    fam = lit[lit.vec_id.isin([9] + list(range(40, 52)))]
+    assert int(fam.keep.sum()) == 1 and bool(lit.loc[9, "keep"])
+
+
 def test_ann_bruteforce_topk_is_exact(spark):
     rng = np.random.default_rng(9)
     vecs = rng.standard_normal((30, 8)).astype(np.float32)
