@@ -62,6 +62,8 @@ AUDIT = [
     ("dsir_weights", "DSIR importance weights (explode→groupBy fold)"),
     ("graph_pagerank", "PageRank final-round plan (oracle-gated r5)"),
     ("hybrid_search_rrf", "hybrid BM25+vector retrieval (RRF fusion)"),
+    ("dedup_semantic_trained", "SemDeDup over in-job-trained codebook"),
+    ("text_lm_score", "corpus bigram-LM scoring (staged grams)"),
 ]
 
 
