@@ -27,11 +27,18 @@ def embs(spark):
 
 
 def test_pick_strategy_rule():
-    assert pick_strategy(8, 64) == "literal"       # fixture k-means
-    assert pick_strategy(16, 64) == "literal"      # seeded IVF codebook
+    assert pick_strategy(8, 16) == "literal"       # 128 terms: literal
+    assert pick_strategy(8, 32) == "literal"       # 256 terms: literal
+    # 512 terms: compiles fine but the kernel is 2× faster per ROW
+    # (measured at 4M rows, BENCH/EMBKERNEL.md) — auto now follows
+    # the per-row crossover, not just the compile budget
+    assert pick_strategy(8, 64) == "broadcast"
+    assert pick_strategy(16, 64) == "broadcast"
     assert pick_strategy(256, 768) == "broadcast"  # real model sizes
     assert pick_strategy(2, 768) == "broadcast"    # dim alone busts it
     assert pick_strategy(64, 64) == "broadcast"    # k×dim busts it
+    # explicit literal still honored up to the COMPILE budget
+    assert pick_strategy(8, 64, "literal") == "literal"
     # measured janino-failure config (BENCH/EMBKERNEL.md) must route
     assert pick_strategy(16, 128) == "broadcast"
     assert pick_strategy(256, 768, "literal") == "literal"  # explicit wins

@@ -36,12 +36,15 @@ left-to-right dimension order as the literal expressions —
   extremal index — the same rule as ``array_position(arr,
   array_min(arr))``.
 
-Strategy auto-pick (`pick_strategy`): literal iff the codebook fits
-the codegen budget — dim ≤ LITERAL_DIM_BUDGET (one centroid's
-unrolled fold must stay compilable) AND k×dim ≤ LITERAL_TERM_BUDGET
-(the whole scoring projection must stay inside whole-stage codegen).
-Auto picks literal at every fixture size the repo ships, broadcast
-beyond.
+Strategy auto-pick (`pick_strategy`): literal iff the codebook is
+BOTH compilable (dim ≤ LITERAL_DIM_BUDGET, k×dim ≤
+LITERAL_TERM_BUDGET — janino limits) AND per-row faster (k×dim ≤
+LITERAL_PERF_TERMS — the measured large-n crossover, r5: at 4-8M
+rows × local[16] the unrolled literal scores 6.0M rows/s at k×dim=128
+and 3.3M at 256 vs the kernel's 4.4M/2.0M, but by 512 the kernel is
+2× AHEAD — 629k vs 295k rows/s at dim=64×k=8, checksums identical;
+BENCH/EMBKERNEL.md).  Explicit 'literal' is honored up to the
+compile budget.
 """
 
 from __future__ import annotations
@@ -61,17 +64,22 @@ from pyspark.sql import functions as F
 # 8×64 k-means sqdist array.
 LITERAL_DIM_BUDGET = 64
 LITERAL_TERM_BUDGET = 1024
+# the PERF threshold is the measured per-row crossover (module
+# docstring): past ~256 unrolled terms the Arrow kernel out-scores
+# whole-stage codegen per ROW, not just per plan-compile
+LITERAL_PERF_TERMS = 256
 
 STRATEGIES = ("literal", "broadcast", "auto")
 
 
 def pick_strategy(k: int, dim: int, strategy: str = "auto") -> str:
-    """Resolve 'auto' on the codegen budget; validate explicit picks."""
+    """Resolve 'auto' on the codegen budget AND the measured per-row
+    crossover; validate explicit picks."""
     if strategy not in STRATEGIES:
         raise ValueError(f"strategy {strategy!r} not one of {STRATEGIES}")
     if strategy != "auto":
         return strategy
-    if dim <= LITERAL_DIM_BUDGET and k * dim <= LITERAL_TERM_BUDGET:
+    if dim <= LITERAL_DIM_BUDGET and k * dim <= LITERAL_PERF_TERMS:
         return "literal"
     return "broadcast"
 
