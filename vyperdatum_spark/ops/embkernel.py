@@ -124,21 +124,30 @@ def kmeans_assign_broadcast_col(df: DataFrame, cents: list[list[float]],
 
 
 def centroid_cos_broadcast_col(df: DataFrame, cents: list[list[float]],
-                               emb_col: str = "embedding") -> Column:
+                               emb_col: str = "embedding",
+                               cnorms: list[float] | None = None) -> Column:
     """array<double> column of cosine(emb, centroid_i) against a
     broadcast codebook — exactly equals
-    `similarity.trained_cos_array_col` on the same centroids."""
+    `similarity.trained_cos_array_col` on the same centroids.
+
+    ``cnorms`` overrides the centroid norms for codebooks whose
+    literal twin bakes PRE-COMPUTED norms (the seeded
+    `similarity.CENTROID_NORMS` are numpy pairwise sums, which can
+    differ from this left-to-right fold by an ulp)."""
     sc = df.sparkSession.sparkContext
     C = np.asarray(cents, dtype=np.float64)
-    # centroid norms: the literal path folds these left-to-right in
-    # driver Python — do the identical fold once here
-    cnorms = np.empty(C.shape[0])
-    for i, cent in enumerate(cents):
-        acc = 0.0
-        for w in cent:
-            acc += float(w) * float(w)
-        cnorms[i] = acc ** 0.5
-    bc = sc.broadcast((C, cnorms))
+    if cnorms is None:
+        # centroid norms: the trained literal path folds these
+        # left-to-right in driver Python — do the identical fold once
+        cn = np.empty(C.shape[0])
+        for i, cent in enumerate(cents):
+            acc = 0.0
+            for w in cent:
+                acc += float(w) * float(w)
+            cn[i] = acc ** 0.5
+    else:
+        cn = np.asarray(cnorms, dtype=np.float64)
+    bc = sc.broadcast((C, cn))
     dim = len(cents[0])
 
     @F.pandas_udf("array<double>")

@@ -401,19 +401,31 @@ def _ivf_body(base: DataFrame, id_col: str, emb_col: str,
 def ann_ivf_topk(df: DataFrame, id_col: str = "vec_id",
                  emb_col: str = "embedding",
                  n_queries: int = 10, k: int = 3,
-                 nprobe: int = N_PROBE) -> DataFrame:
+                 nprobe: int = N_PROBE,
+                 strategy: str = "auto") -> DataFrame:
     """IVF approximate top-k: vectors land in the inverted list of
     their nearest centroid; a query probes its ``nprobe`` closest
     lists; exact cosine only within the probed lists.
 
-    Scale shape: assignment is one codegen pass; the probe join is a
+    Scale shape: assignment is one scoring pass (literal codegen or
+    broadcast Arrow kernel per ``pick_strategy`` — the seeded 16×64
+    codebook is past the measured per-row crossover, so auto takes
+    the kernel; bit-identical either way); the probe join is a
     (centroid_id) equi-join — candidates per query ≈ nprobe/C of the
     corpus, never all-pairs; raising nprobe trades cost for recall.
     """
+    from .embkernel import centroid_cos_broadcast_col, pick_strategy
+
+    if pick_strategy(N_CENTROIDS, EMB_DIM, strategy) == "broadcast":
+        ca = centroid_cos_broadcast_col(
+            df, [[float(w) for w in c] for c in CENTROIDS], emb_col,
+            cnorms=CENTROID_NORMS)
+    else:
+        ca = centroid_cos_array_col(emb_col, norm_spark_sql(emb_col))
     base = df.select(
         F.col(id_col), F.col(emb_col),
         norm_col(F.col(emb_col)).alias("nrm"),
-        centroid_cos_array_col(emb_col, norm_spark_sql(emb_col)).alias("_ca"),
+        ca.alias("_ca"),
     ).select(
         id_col, emb_col, "nrm", "_ca",
         F.array_position(F.col("_ca"), F.array_max(F.col("_ca")))
@@ -607,23 +619,29 @@ def _cell_assign(df: DataFrame, id_col: str, emb_col: str,
     centroid_cos_array_col's codegen note); runtime subexpression
     elimination shares the copies.
 
-    ``centroids`` None → the seeded module codebook (memoized literal
-    path, the oracle-gated default).  A runtime codebook (k-means
-    output) scores via ``trained_cos_array_col`` while k×dim fits the
-    codegen budget and the broadcast Arrow kernel past it
-    (``pick_strategy`` — so SemDeDup holds at real embedding dims)."""
-    if centroids is None:
+    ``centroids`` None → the seeded module codebook; a runtime
+    codebook (k-means output) scores via ``trained_cos_array_col``.
+    Either way ``pick_strategy`` routes between literal codegen and
+    the broadcast Arrow kernel — the seeded 16×dim-64 array is 1024
+    unrolled terms, past the measured per-row crossover
+    (BENCH/EMBKERNEL.md r5), so at the shipped dims the kernel wins
+    per ROW as well as per plan-compile; both are bit-identical."""
+    from .embkernel import centroid_cos_broadcast_col, pick_strategy
+
+    cents = ([[float(w) for w in c] for c in CENTROIDS]
+             if centroids is None else centroids)
+    strategy = pick_strategy(len(cents), len(cents[0]), strategy)
+    if strategy == "broadcast":
+        # the seeded literal twin bakes CENTROID_NORMS (numpy pairwise
+        # sums) — pass them through so the kernel stays bit-identical
+        ca = centroid_cos_broadcast_col(
+            df, cents, emb_col,
+            cnorms=CENTROID_NORMS if centroids is None else None)
+    elif centroids is None:
         ca = centroid_cos_array_col(emb_col, norm_spark_sql(emb_col))
     else:
-        from .embkernel import centroid_cos_broadcast_col, pick_strategy
-
-        strategy = pick_strategy(len(centroids), len(centroids[0]),
-                                 strategy)
-        if strategy == "broadcast":
-            ca = centroid_cos_broadcast_col(df, centroids, emb_col)
-        else:
-            ca = trained_cos_array_col(emb_col, norm_spark_sql(emb_col),
-                                       centroids)
+        ca = trained_cos_array_col(emb_col, norm_spark_sql(emb_col),
+                                   centroids)
     return df.select(
         F.col(id_col), F.col(emb_col),
         norm_col(F.col(emb_col)).alias("nrm"),
