@@ -123,6 +123,29 @@ def kmeans_assign_broadcast_col(df: DataFrame, cents: list[list[float]],
     return assign(F.col(emb_col))
 
 
+def dot_array_broadcast_col(df: DataFrame, vecs: list[list[float]],
+                            emb_col: str = "embedding") -> Column:
+    """array<double> of dot(emb, vec_i) against a broadcast matrix of
+    fixed vectors (e.g. the hybrid-search query embeddings) — exactly
+    equals the per-vector ``aggregate(zip_with(emb, vec, *), 0.0, +)``
+    left fold: the accumulator adds the j-th product for every
+    (row, vec) pair at once, j = 1..dim."""
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(np.asarray(vecs, dtype=np.float64))
+    dim = len(vecs[0])
+
+    @F.pandas_udf("array<double>")
+    def dots(emb: pd.Series) -> pd.Series:
+        Q = bc.value                      # q×dim
+        E = _stack(emb, dim)              # n×dim
+        acc = np.zeros((E.shape[0], Q.shape[0]))
+        for j in range(Q.shape[1]):       # dimension order = fold order
+            acc += E[:, j, None] * Q[None, :, j]
+        return pd.Series(list(acc))
+
+    return dots(F.col(emb_col))
+
+
 def centroid_cos_broadcast_col(df: DataFrame, cents: list[list[float]],
                                emb_col: str = "embedding",
                                cnorms: list[float] | None = None) -> Column:

@@ -258,8 +258,16 @@ def doc_hash_embed(df: DataFrame, id_col: str = "doc_id",
     toks = _toks(F.col(text_col))
     ex = df.select(F.col(id_col), F.explode(toks).alias("_t"))
     bk = ex.select(F.col(id_col), _bucket_col(F.col("_t")).alias("_b"))
-    agg = bk.groupBy(id_col).agg(*[
-        F.sum((F.col("_b") == i).cast("double")).alias(f"_c{i}")
+    # two-stage count matrix (same shape as ops/dsir, r5): the
+    # token-level pass keeps ONE count buffer keyed by (id, bucket) —
+    # map-side combine — and the 64-column widening runs over the
+    # n_docs×64 pre-aggregate instead of every token row; identical
+    # values (exact integer counts)
+    cnt = bk.groupBy(id_col, "_b").agg(
+        F.count(F.lit(1)).cast("double").alias("_n"))
+    agg = cnt.groupBy(id_col).agg(*[
+        F.sum(F.when(F.col("_b") == i, F.col("_n")).otherwise(F.lit(0.0)))
+        .alias(f"_c{i}")
         for i in range(EMBED_DIM)
     ])
     nrm = F.lit(0.0)
@@ -328,19 +336,38 @@ def hybrid_search_rrf(df: DataFrame,
                    text_col=text_col, k=k).select(
         "qid", id_col, F.col("rank").alias("rank_bm"))
     emb = doc_hash_embed(df, id_col=id_col, text_col=text_col)
-    per_q = []
-    for qid, terms in queries:
-        qv = _query_embed_py(sorted(terms))
-        arr = F.array(*[F.lit(v) for v in qv])
-        dot = F.aggregate(
-            F.zip_with(F.col("embedding"), arr, lambda e, q: e * q),
-            F.lit(0.0), lambda a, v: a + v)
-        per_q.append(F.struct(F.lit(qid).alias("qid"), dot.alias("dot")))
-    vec_cand = (
-        emb.select(F.col(id_col), F.explode(F.array(*per_q)).alias("q"))
-        .select(F.col("q.qid").alias("qid"), id_col,
-                F.col("q.dot").alias("dot"))
-    )
+    qvs = [_query_embed_py(sorted(terms)) for _qid, terms in queries]
+    from .embkernel import dot_array_broadcast_col, pick_strategy
+
+    if pick_strategy(len(queries), EMBED_DIM) == "broadcast":
+        # all-queries-at-once Arrow matmul (|q|×dim is past the
+        # measured per-row literal crossover at the shipped dims);
+        # bit-identical to the per-query zip_with fold
+        qid_arr = F.array(*[F.lit(q) for q, _t in queries])
+        vec_cand = (
+            emb.select(
+                F.col(id_col),
+                F.posexplode(
+                    dot_array_broadcast_col(emb, qvs, "embedding")
+                ).alias("_qi", "dot"),
+            )
+            .select(F.element_at(qid_arr, F.col("_qi") + 1).alias("qid"),
+                    id_col, "dot")
+        )
+    else:
+        per_q = []
+        for (qid, _terms), qv in zip(queries, qvs):
+            arr = F.array(*[F.lit(v) for v in qv])
+            dot = F.aggregate(
+                F.zip_with(F.col("embedding"), arr, lambda e, q: e * q),
+                F.lit(0.0), lambda a, v: a + v)
+            per_q.append(F.struct(F.lit(qid).alias("qid"),
+                                  dot.alias("dot")))
+        vec_cand = (
+            emb.select(F.col(id_col), F.explode(F.array(*per_q)).alias("q"))
+            .select(F.col("q.qid").alias("qid"), id_col,
+                    F.col("q.dot").alias("dot"))
+        )
     vec = _topk_per_qid(vec_cand, id_col, "dot", k).select(
         "qid", id_col, F.col("rank").alias("rank_v")
     )
