@@ -91,11 +91,18 @@ def q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = pages.filter(F.col("pid") % 97 != 0).drop("pid")
 
     # geoparse + transform: text rides through untouched (projection
-    # guarantee); the SQL strategy never ships it to Python
+    # guarantee); the SQL strategy never ships it to Python.
+    # localCheckpoint boundary (r5): the transform subtree is
+    # zero-shuffle, so ReuseExchange cannot deduplicate it — without
+    # the boundary the dedup self-join and the decontamination/keep
+    # joins re-evaluate geoparse+transform ~4× inside one write job
+    # (measured 12.0 → 8.2 s at sf0.1).  At cluster scale this
+    # boundary is the engine's checkpoint layer (run_with_checkpoint)
+    # or a persist(DISK_ONLY); blocks release via ContextCleaner.
     parsed = geoparse.geoparse(corpus)
     out = tx.transform_points(
         spark, parsed, "ellipse", "mllw", key_col="url",
-    )
+    ).localCheckpoint()
 
     # exact dedup: min-url keeper per content hash (dedup_exact's
     # grouping, applied as a filter)
