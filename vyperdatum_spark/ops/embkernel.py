@@ -39,10 +39,11 @@ left-to-right dimension order as the literal expressions —
 Strategy auto-pick (`pick_strategy`): literal iff the codebook is
 BOTH compilable (dim ≤ LITERAL_DIM_BUDGET, k×dim ≤
 LITERAL_TERM_BUDGET — janino limits) AND per-row faster (k×dim ≤
-LITERAL_PERF_TERMS — the measured large-n crossover, r5: at 4-8M
-rows × local[16] the unrolled literal scores 6.0M rows/s at k×dim=128
-and 3.3M at 256 vs the kernel's 4.4M/2.0M, but by 512 the kernel is
-2× AHEAD — 629k vs 295k rows/s at dim=64×k=8, checksums identical;
+LITERAL_PERF_TERMS — the measured large-n crossover, r5 re-pinned on
+array<float> input with the arrow_udf kernel: at 8M rows × local[16]
+the unrolled literal scores 8.8M rows/s at k×dim=128 and 5.2M at 256
+vs the kernel's 4.7M/2.4M, but from 512 the kernel is AHEAD — 2.9M
+vs 2.3M at 8×64 and 2.6× ahead at 16×64, checksums identical;
 BENCH/EMBKERNEL.md).  Explicit 'literal' is honored up to the
 compile budget.
 """
@@ -51,8 +52,14 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+try:  # Spark 4.1+: pyarrow in/out, no pandas detour (see _flat below)
+    from pyspark.sql.functions import arrow_udf as _arrow_udf
+except ImportError:  # pragma: no cover — older clusters
+    _arrow_udf = None
 
 # the budget is EMPIRICAL, not theoretical: the deeply-nested
 # left-assoc folds compile by recursive descent in janino, so past a
@@ -93,6 +100,29 @@ def _stack(emb: pd.Series, dim: int) -> np.ndarray:
     return np.vstack(emb.to_numpy()).astype(np.float64, copy=False)
 
 
+def _flat(emb: pa.Array, dim: int) -> np.ndarray:
+    """n×dim float64 matrix from an Arrow ListArray, zero-copy.
+
+    This is why the kernels prefer `arrow_udf` when the runtime has
+    it: the pandas route materializes a python object PER ROW (a
+    Series of small ndarrays) and re-stacks them — measured ~44 ms
+    per 10k×64 batch, >60% of the kernel's python time — while
+    `flatten().reshape()` is one offsets-aware buffer view (~0.3 ms).
+    float32 → float64 widening is exact and happens before any
+    arithmetic, mirroring the literal path's CAST(… AS DOUBLE)."""
+    flat = emb.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(-1, dim).astype(np.float64, copy=False)
+
+
+def _list_array(mat: np.ndarray) -> pa.ListArray:
+    """list<double> column from an n×q float64 matrix, zero-copy: one
+    flat values buffer + an arithmetic offsets vector."""
+    n, q = mat.shape
+    offsets = pa.array(np.arange(0, (n + 1) * q, q, dtype=np.int32))
+    return pa.ListArray.from_arrays(
+        offsets, pa.array(mat.ravel(), type=pa.float64()))
+
+
 def kmeans_assign_broadcast_col(df: DataFrame, cents: list[list[float]],
                                 emb_col: str = "embedding") -> Column:
     """struct<cluster:int, sqdist:double> column: nearest trained
@@ -102,23 +132,32 @@ def kmeans_assign_broadcast_col(df: DataFrame, cents: list[list[float]],
     bc = sc.broadcast(np.asarray(cents, dtype=np.float64))
     dim = len(cents[0])
 
-    @F.pandas_udf("struct<cluster:int, sqdist:double>")
-    def assign(emb: pd.Series) -> pd.DataFrame:
+    def _score(E: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         C = bc.value                       # k×dim
-        E = _stack(emb, dim)               # n×dim
         n = E.shape[0]
         acc = np.zeros((n, C.shape[0]))
         for j in range(C.shape[1]):        # dimension order = literal fold order
             d = E[:, j, None] - C[None, :, j]
             acc += d * d
         if n == 0:
-            return pd.DataFrame({"cluster": pd.Series([], dtype="int32"),
-                                 "sqdist": pd.Series([], dtype="float64")})
+            return (np.empty(0, dtype=np.int32),
+                    np.empty(0, dtype=np.float64))
         cl = np.argmin(acc, axis=1)        # first min = array_position rule
-        return pd.DataFrame({
-            "cluster": (cl + 1).astype("int32"),
-            "sqdist": acc[np.arange(n), cl],
-        })
+        return (cl + 1).astype(np.int32), acc[np.arange(n), cl]
+
+    if _arrow_udf is not None:
+        @_arrow_udf("struct<cluster:int, sqdist:double>")
+        def assign(emb: pa.Array) -> pa.Array:
+            cl, d = _score(_flat(emb, dim))
+            return pa.StructArray.from_arrays(
+                [pa.array(cl, type=pa.int32()),
+                 pa.array(d, type=pa.float64())],
+                names=["cluster", "sqdist"])
+    else:  # pragma: no cover — pre-4.1 fallback, same math
+        @F.pandas_udf("struct<cluster:int, sqdist:double>")
+        def assign(emb: pd.Series) -> pd.DataFrame:
+            cl, d = _score(_stack(emb, dim))
+            return pd.DataFrame({"cluster": cl, "sqdist": d})
 
     return assign(F.col(emb_col))
 
@@ -134,14 +173,21 @@ def dot_array_broadcast_col(df: DataFrame, vecs: list[list[float]],
     bc = sc.broadcast(np.asarray(vecs, dtype=np.float64))
     dim = len(vecs[0])
 
-    @F.pandas_udf("array<double>")
-    def dots(emb: pd.Series) -> pd.Series:
+    def _score(E: np.ndarray) -> np.ndarray:
         Q = bc.value                      # q×dim
-        E = _stack(emb, dim)              # n×dim
         acc = np.zeros((E.shape[0], Q.shape[0]))
         for j in range(Q.shape[1]):       # dimension order = fold order
             acc += E[:, j, None] * Q[None, :, j]
-        return pd.Series(list(acc))
+        return acc
+
+    if _arrow_udf is not None:
+        @_arrow_udf("array<double>")
+        def dots(emb: pa.Array) -> pa.Array:
+            return _list_array(_score(_flat(emb, dim)))
+    else:  # pragma: no cover — pre-4.1 fallback, same math
+        @F.pandas_udf("array<double>")
+        def dots(emb: pd.Series) -> pd.Series:
+            return pd.Series(list(_score(_stack(emb, dim))))
 
     return dots(F.col(emb_col))
 
@@ -173,17 +219,23 @@ def centroid_cos_broadcast_col(df: DataFrame, cents: list[list[float]],
     bc = sc.broadcast((C, cn))
     dim = len(cents[0])
 
-    @F.pandas_udf("array<double>")
-    def cosines(emb: pd.Series) -> pd.Series:
-        Cm, cn = bc.value
-        E = _stack(emb, dim)
+    def _score(E: np.ndarray) -> np.ndarray:
+        Cm, cnv = bc.value
         n = E.shape[0]
         dot = np.zeros((n, Cm.shape[0]))
         nrm2 = np.zeros(n)
         for j in range(Cm.shape[1]):       # same left-to-right folds
             dot += E[:, j, None] * Cm[None, :, j]
             nrm2 += E[:, j] * E[:, j]
-        ca = dot / (np.sqrt(nrm2)[:, None] * cn[None, :])
-        return pd.Series(list(ca))
+        return dot / (np.sqrt(nrm2)[:, None] * cnv[None, :])
+
+    if _arrow_udf is not None:
+        @_arrow_udf("array<double>")
+        def cosines(emb: pa.Array) -> pa.Array:
+            return _list_array(_score(_flat(emb, dim)))
+    else:  # pragma: no cover — pre-4.1 fallback, same math
+        @F.pandas_udf("array<double>")
+        def cosines(emb: pd.Series) -> pd.Series:
+            return pd.Series(list(_score(_stack(emb, dim))))
 
     return cosines(F.col(emb_col))
