@@ -802,8 +802,21 @@ def _finalize(
     out = out.withColumn("z_out", z_out).withColumn("covered", covered)
 
     if include_uncertainty:
-        dim = region_dim_df(spark, from_datum, to_datum)
-        out = out.join(F.broadcast(dim.select("region_id", "unc")), "region_id", "left")
+        # literal CASE over the (tiny) catalog instead of a broadcast
+        # join (r6): same per-region combined_sigma doubles, same
+        # left-join-miss null for uncovered rows, one less broadcast
+        # exchange + dim build per transform query (guide §2.4)
+        unc_case = None
+        for r in catalog.REGIONS:
+            v = F.lit(float(catalog.combined_sigma(r.region_id, to_datum)))
+            unc_case = (
+                F.when(F.col("region_id") == r.region_id, v)
+                if unc_case is None
+                else unc_case.when(F.col("region_id") == r.region_id, v)
+            )
+        if unc_case is None:
+            unc_case = F.lit(None).cast("double")
+        out = out.withColumn("unc", unc_case)
         if allow_points_outside_coverage:
             # F6: CATZOC-D vertical uncertainty over the HEIGHT-axis z
             # (raster.py:384-390 negates a sounding input first)

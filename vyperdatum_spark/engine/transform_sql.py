@@ -451,6 +451,72 @@ _DIM_CACHE: dict = {}
 _DIM_CACHE_MAX = 32
 
 
+def slots_dim_pdf(grids: dict, j_max: int) -> tuple[pd.DataFrame, str, int]:
+    """The J1 prune dim DENORMALIZED with the per-region lattice params
+    (r6 plan slimming): one broadcast row per covered fine cell carrying
+    rid/ord/ngr and the per-group gkey+lattice for every slot, so the
+    runtime plan pays ONE broadcast hash join where it previously paid
+    1 + depth (slots, then a region-dim join per slot).  Values are the
+    same region_dim_pdf rows keyed through slot_k, so the joined columns
+    are bit-identical to the two-level join.
+
+    Returns (pdf, explicit schema, depth).  The schema is explicit and
+    the frame object-typed with real ``None``s: pandas' NaN-padding of
+    missing slots would otherwise surface as float NaN columns in Spark
+    (NaN != NULL — e.g. ``j < NaN`` is TRUE under NaN-greatest ordering
+    where ``j < NULL`` is NULL), silently flipping join-miss semantics.
+    """
+    slots_pdf, depth = cover_slots_pdf()
+    rd = region_dim_pdf(grids, j_max)
+    merged = slots_pdf
+    schema = ["cell9 long"]
+    for k in range(depth):
+        ren = {"region_id": f"rid_s{k}", "region_ord": f"ord_s{k}",
+               "n_groups": f"ngr_s{k}"}
+        schema += [f"rid_s{k} string", f"ord_s{k} long", f"ngr_s{k} long"]
+        for j in range(j_max):
+            for c in ("gkey", "lon0", "lat0", "dlon", "dlat"):
+                ren[f"{c}_{j}"] = f"{c}_s{k}_{j}"
+                schema.append(
+                    f"{c}_s{k}_{j} " + ("string" if c == "gkey" else "double")
+                )
+        merged = merged.merge(
+            rd.rename(columns=ren), how="left",
+            left_on=f"slot_{k}", right_on=f"rid_s{k}",
+        ).drop(columns=[f"slot_{k}"])
+    cols = [s.split(" ")[0] for s in schema]
+    merged = merged[cols].astype(object)
+    # pandas' left merge promotes int columns with missing slots to
+    # float (2 → 2.0) and renders the misses as float NaN even in
+    # object columns; restore exact ints / real Nones per the schema
+    # (this dim has no legitimate NaN — only join-miss nulls)
+    def _clean(v, typ):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return None
+        return int(v) if typ == "long" else v
+
+    for s in schema:
+        name, typ = s.split(" ")
+        # dtype=object: a plain list assignment re-upcasts int+None
+        # columns straight back to float64/NaN
+        merged[name] = pd.Series(
+            [_clean(v, typ) for v in merged[name]],
+            dtype=object, index=merged.index,
+        )
+    return merged, ", ".join(schema), depth
+
+
+def _py_rows(pdf: pd.DataFrame) -> list[tuple]:
+    """Plain-python row tuples (no numpy scalars): the non-Arrow
+    createDataFrame path under plain spark-submit rejects np.int64."""
+    out = []
+    for tup in pdf.itertuples(index=False, name=None):
+        out.append(tuple(
+            v.item() if isinstance(v, np.generic) else v for v in tup
+        ))
+    return out
+
+
 def _dims(spark: SparkSession, from_datum: str, to_datum: str,
           grid_defs=None, knn_fallback: bool = False,
           grid_cache_token: str | None = None):
@@ -478,30 +544,38 @@ def _dims(spark: SparkSession, from_datum: str, to_datum: str,
             _DIM_CACHE.pop(key)
             _DIM_CACHE[key] = hit  # refresh LRU position
             return hit
-    slots_pdf, depth = cover_slots_pdf()
     grids = combined_grids(from_datum, to_datum, grid_defs)
     j_max = max((len(g) for g in grids.values()), default=0)
-    slots = spark.createDataFrame(slots_pdf)
-    rdim = spark.createDataFrame(region_dim_pdf(grids, j_max))
-    corners = spark.createDataFrame(
-        corners_pdf(grids),
+    slots_merged, slots_schema, depth = slots_dim_pdf(grids, j_max)
+    slots = spark.createDataFrame(_py_rows(slots_merged), slots_schema)
+    corner_schema = (
         "gkey string, ix long, iy long, "
-        "v00 double, v01 double, v10 double, v11 double",
+        "v00 double, v01 double, v10 double, v11 double"
     )
+    cpdf = corners_pdf(grids)
     if knn_fallback:
+        # r6 plan slimming: the kNN candidate cells ride ON the corner
+        # rows (outer-merged by (gkey, ix, iy) — exterior-ring cells
+        # exist only on the kNN side and carry null corners, which is
+        # exactly the old corner-join MISS those cells produced), so
+        # each (slot, group) pays one broadcast join instead of two.
         knn_rows, n_cand = knn_cells_pdf(grids)
-        knn_schema = (
-            "gkey string, ix long, iy long, "
-            "cands array<struct<lon: double, lat: double, "
-            "v: double, i: bigint>>"
-        )
-        knn_df = spark.createDataFrame(knn_rows, knn_schema)
-        # group indices that actually have candidate rows — joins are
-        # added only for those (slot, j) combinations
         knn_js = {int(r[0].rsplit("#g", 1)[1]) for r in knn_rows}
+        by_cell = {(g, int(ix), int(iy)): cands
+                   for g, ix, iy, cands in knn_rows}
+        rows = []
+        for tup in _py_rows(cpdf):
+            g, ix, iy = tup[0], tup[1], tup[2]
+            rows.append(tup + (by_cell.pop((g, ix, iy), None),))
+        for (g, ix, iy), cands in by_cell.items():
+            rows.append((g, ix, iy, None, None, None, None, cands))
+        corner_schema += (", cands array<struct<lon: double, lat: double, "
+                          "v: double, i: bigint>>")
+        corners = spark.createDataFrame(rows, corner_schema)
     else:
-        knn_df, n_cand, knn_js = None, 0, set()
-    out = (slots, rdim, corners, depth, j_max, knn_df, n_cand, knn_js)
+        n_cand, knn_js = 0, set()
+        corners = spark.createDataFrame(_py_rows(cpdf), corner_schema)
+    out = (slots, corners, depth, j_max, n_cand, knn_js)
     if cacheable:
         # bounded LRU, NOT evict-by-foreign-appId: a driver process can
         # host several live sessions concurrently, and evicting every
@@ -545,40 +619,32 @@ def transform_points_sql(
                        list), replacing the catalog fixture set.
     """
     x, y = F.col(x_col), F.col(y_col)
-    slots, rdim, corners, depth, j_max, knn_df, n_cand, knn_js = _dims(
+    slots, corners, depth, j_max, n_cand, knn_js = _dims(
         spark, from_datum, to_datum, grid_defs, knn_fallback,
         grid_cache_token,
     )
 
     out = points.withColumn("cell5", cells.encode_col(x, y, cells.COARSE_RES))
     out = out.withColumn("_c9", cells.encode_col(x, y, cells.FINE_RES))
+    # ONE denormalized prune join (slots_dim_pdf): rid/ord/ngr + lattice
+    # params for every slot arrive together — the per-slot region-dim
+    # joins of the two-level layout are gone (r6, guide §2.4: fewer
+    # broadcast exchanges, flatter join tree for Catalyst).
     out = out.join(F.broadcast(slots), out["_c9"] == slots["cell9"], "left")
     out = out.drop("cell9")
 
-    # ----- joins: region dim + combined-grid corners per slot --------
+    # ----- joins: combined-grid corners (+ kNN candidates) per slot --
     for k in range(depth):
         sfx = f"_s{k}"
-        rd = rdim.select(
-            F.col("region_id").alias(f"rid{sfx}"),
-            F.col("region_ord").alias(f"ord{sfx}"),
-            F.col("n_groups").alias(f"ngr{sfx}"),
-            *[
-                F.col(f"{c}_{j}").alias(f"{c}{sfx}_{j}")
-                for j in range(j_max)
-                for c in ("gkey", "lon0", "lat0", "dlon", "dlat")
-            ],
-        )
-        # unbound F.col, NOT out[...]: Dataset.col() resolves against
-        # the ANALYZED plan, so a bound reference inside this loop
-        # re-analyzes the whole growing join tree once per iteration —
-        # O(joins²) driver time (measured ~8 s of the 12.5 s
-        # geo_knn_edge wall). slot_{k} is unambiguous (left side only).
-        out = out.join(
-            F.broadcast(rd), F.col(f"slot_{k}") == rd[f"rid{sfx}"], "left"
-        )
         for j in range(j_max):
+            # unbound F.col, NOT out[...]: Dataset.col() resolves
+            # against the ANALYZED plan, so a bound reference inside
+            # this loop re-analyzes the whole growing join tree once
+            # per iteration — O(joins²) driver time (measured ~8 s of
+            # the 12.5 s geo_knn_edge wall).
             ix = F.floor((x - F.col(f"lon0{sfx}_{j}")) / F.col(f"dlon{sfx}_{j}")).cast("long")
             iy = F.floor((y - F.col(f"lat0{sfx}_{j}")) / F.col(f"dlat{sfx}_{j}")).cast("long")
+            knn_here = knn_fallback and n_cand and j in knn_js
             cn = corners.select(
                 F.col("gkey").alias(f"g{sfx}_{j}"),
                 F.col("ix").alias(f"ix{sfx}_{j}"),
@@ -587,6 +653,8 @@ def transform_points_sql(
                 F.col("v01").alias(f"v01{sfx}_{j}"),
                 F.col("v10").alias(f"v10{sfx}_{j}"),
                 F.col("v11").alias(f"v11{sfx}_{j}"),
+                *([F.col("cands").alias(f"kc{sfx}_{j}")] if knn_here
+                  else []),
             )
             out = out.join(
                 F.broadcast(cn),
@@ -594,19 +662,6 @@ def transform_points_sql(
                 & (ix == cn[f"ix{sfx}_{j}"]) & (iy == cn[f"iy{sfx}_{j}"]),
                 "left",
             )
-            if knn_fallback and n_cand and j in knn_js:
-                kn = knn_df.select(
-                    F.col("gkey").alias(f"kg{sfx}_{j}"),
-                    F.col("ix").alias(f"kx{sfx}_{j}"),
-                    F.col("iy").alias(f"ky{sfx}_{j}"),
-                    F.col("cands").alias(f"kc{sfx}_{j}"),
-                )
-                out = out.join(
-                    F.broadcast(kn),
-                    (F.col(f"gkey{sfx}_{j}") == kn[f"kg{sfx}_{j}"])
-                    & (ix == kn[f"kx{sfx}_{j}"]) & (iy == kn[f"ky{sfx}_{j}"]),
-                    "left",
-                )
 
     # ----- stage the expensive per-slot expressions as REAL columns --
     # A column referenced more than once downstream would otherwise be
