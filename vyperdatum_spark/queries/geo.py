@@ -30,7 +30,8 @@ FAMOUS_Y = 34.7512345
 # --------------------------------------------------------------------
 
 def derived_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from ..engine.inputs import read_input
+    ev = read_input(spark, f"{sf_dir}/events.parquet")
     k = F.col("event_id")
     # prime multipliers spread points over the whole region layout at
     # any scale factor (plain event_id // 400 collapses y at small sf)
@@ -578,7 +579,8 @@ def _knn_grid_defs():
 
 
 def _knn_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from ..engine.inputs import read_input
+    ev = read_input(spark, f"{sf_dir}/events.parquet")
     k = F.col("event_id")
     x = F.lit(KNN_NODE_LON + 0.0005) + ((k * 131) % 39).cast("double") * F.lit(0.001)
     y = F.lit(33.2005) + ((k * 7919) % 100).cast("double") * F.lit(0.008)
@@ -919,7 +921,8 @@ def q_geo_parse_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     rendered strings are bit-identical across engines."""
     from ..engine import geoparse
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from ..engine.inputs import read_input
+    ev = read_input(spark, f"{sf_dir}/events.parquet")
     k = F.col("event_id")
     lat1 = F.lit(33.0) + ((k * 131) % 300).cast("double") * F.lit(0.01)
     lon1 = F.lit(76.0) + ((k * 7919) % 400).cast("double") * F.lit(0.01)

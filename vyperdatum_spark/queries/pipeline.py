@@ -45,7 +45,9 @@ FAMOUS_LONW = 76.7512345  # rendered positive with W suffix (x = −lon)
 
 def synth_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-Crawl-shaped pages with parseable coordinate mentions."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from ..engine.inputs import read_input
+
+    ev = read_input(spark, f"{sf_dir}/events.parquet")
     k = F.col("event_id")
     cid = k - F.when(k % 5 == 4, F.lit(1)).otherwise(F.lit(0))
     st = ev.select(k.alias("pid"), F.col("ts").alias("warc_ts"),

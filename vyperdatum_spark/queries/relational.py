@@ -9,7 +9,9 @@ from pyspark.sql import functions as F
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from ..engine.inputs import read_input
+
+    return read_input(spark, f"{sf_dir}/{name}.parquet")
 
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -10,11 +10,15 @@ from ..ops import clustering, dedup, dsir, search, similarity, textstats
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ..engine.inputs import read_input
+
+    return read_input(spark, f"{sf_dir}/documents.parquet")
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from ..engine.inputs import read_input
+
+    return read_input(spark, f"{sf_dir}/embeddings.parquet")
 
 
 def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -60,7 +60,20 @@ def get_spark(
         # 10× slower: 28 s → 2.9 s on an 8M-row transform).
         .config("spark.driver.extraJavaOptions", "-XX:-DontCompileHugeMethods")
         .config("spark.executor.extraJavaOptions", "-XX:-DontCompileHugeMethods")
+        # shuffle/spill scratch on fast local storage (guide §2.1: the
+        # map side writes every shuffle block to spark.local.dir).
+        # This sandbox's /tmp disk serializes concurrent writers (the
+        # scaling children measured 3-10× wall variance from it), so
+        # default to tmpfs here; on a real cluster point
+        # $SPARK_GRAFT_LOCAL_DIR at the fast local SSD array instead.
+        .config("spark.local.dir",
+                os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
     )
+    # ad-hoc conf overrides for experiments: "k=v;k=v"
+    for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
