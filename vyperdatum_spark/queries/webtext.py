@@ -16,15 +16,22 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..engine.inputs import read_input
+    # NOT read_input: the embeddings fixture is consumed by iterative
+    # Arrow-kernel scorers (k-means train rounds, IVF probes) whose
+    # per-round cost is dominated by task/worker fan-out, not per-row
+    # math - fanning 2k tiny vectors over 32 partitions measured
+    # emb_kmeans 3.5 -> 10-13 s and ann_lsh_multi_topk 2x worse.  At
+    # scale the table arrives as many files and parallelizes at the
+    # scan without any repartition.
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
-    return read_input(spark, f"{sf_dir}/embeddings.parquet")
 
-
-def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs_with_dups(spark: SparkSession, sf_dir: str,
+                    parallel: bool = True) -> DataFrame:
     """documents plus a deterministic duplicated subset (doc_id % 7)
     so exact-dedup has real groups to find at every scale factor."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir) if parallel else spark.read.parquet(
+        f"{sf_dir}/documents.parquet")
     dups = d.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         "text", "lang", "source", "n_chars",
@@ -682,8 +689,12 @@ def queries() -> dict:
         "dedup_lsh_verified": lambda s, d: dedup.lsh_verified_pairs(
             _docs(s, d), threshold=0.5
         ),
+        # parallel=False: the CC fixpoint loop re-materializes tiny
+        # edge lists per round, and fanning the 5k-doc scan over 32
+        # partitions costs more in round overhead than the shingle
+        # hashing gains (measured +1.2 s at sf0.1)
         "dedup_cluster_canonical": lambda s, d: dedup.cluster_canonical(
-            _docs_with_dups(s, d), threshold=0.5
+            _docs_with_dups(s, d, parallel=False), threshold=0.5
         ),
         "dedup_embedding_cosine": lambda s, d: similarity.cosine_dup_pairs(
             _embs(s, d), threshold=0.35
