@@ -29,9 +29,11 @@ FAMOUS_Y = 34.7512345
 # derived point source (events → pid, x, y, z) — both dialects
 # --------------------------------------------------------------------
 
-def derived_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+def derived_points(spark: SparkSession, sf_dir: str,
+                   parallel: bool = True) -> DataFrame:
     from ..engine.inputs import read_input
-    ev = read_input(spark, f"{sf_dir}/events.parquet")
+    ev = (read_input(spark, f"{sf_dir}/events.parquet") if parallel
+          else spark.read.parquet(f"{sf_dir}/events.parquet"))
     k = F.col("event_id")
     # prime multipliers spread points over the whole region layout at
     # any scale factor (plain event_id // 400 collapses y at small sf)
@@ -175,7 +177,9 @@ def q_geo_region_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_geo_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the "identical tile assignments" contract: coarse + fine cells
-    pts = derived_points(spark, sf_dir)
+    # parallel=False: pure column math, no heavy per-row work - the
+    # read_input pre-shuffle only adds a stage (r6 A/B)
+    pts = derived_points(spark, sf_dir, parallel=False)
     return pts.select(
         "pid",
         cells.encode_col(F.col("x"), F.col("y"), cells.COARSE_RES).alias("cell5"),
@@ -195,7 +199,10 @@ def q_geo_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shrink 4× per step).  The DuckDB oracle computes every level
     DIRECTLY from raw points, so the gate simultaneously proves the
     parent derivation and the re-aggregation are exact."""
-    pts = derived_points(spark, sf_dir)
+    # parallel=False: the res-9 aggregate is the only real work and it
+    # re-partitions anyway; the read_input pre-shuffle only adds a
+    # stage (r6 A/B: 0.70 -> 0.46 s)
+    pts = derived_points(spark, sf_dir, parallel=False)
     base = pts.select(
         cells.encode_col(F.col("x"), F.col("y"), cells.FINE_RES).alias("cell"),
         "z",

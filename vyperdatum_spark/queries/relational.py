@@ -9,9 +9,11 @@ from pyspark.sql import functions as F
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    from ..engine.inputs import read_input
-
-    return read_input(spark, f"{sf_dir}/{name}.parquet")
+    # plain scan, no read_input fan-out: the relational shapes are
+    # aggregation/join-bound (their first exchange re-partitions
+    # anyway), so a pre-shuffle to 32 partitions only adds a stage -
+    # measured +0.2-0.6 s per query at sf0.1, no winner among them
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
