@@ -324,6 +324,42 @@ def _axis_rect(ring: np.ndarray) -> tuple[float, float, float, float] | None:
     return min(xs), min(ys), max(xs), max(ys)
 
 
+def _d(v: float) -> str:
+    """SQL double literal (the D suffix keeps the parser off DECIMAL,
+    which would change the arithmetic; repr() round-trips exactly)."""
+    return f"{float(v)!r}D"
+
+
+def pip_literal_sql(x: str, y: str, poly: list[tuple[float, float]]) -> str:
+    """String twin of :func:`pip_literal_expr` over column NAMES.
+
+    Why strings (r6): the Column-DSL builders cost one py4j
+    round-trip per operator — the kNN-edge plan build spent 1.8 s of
+    its 2.1 s in ~11k socket round-trips (cProfile), with
+    slot_pip_expr + bilinear_expr the dominant leaves.  One F.expr per
+    staged column replaces hundreds of round-trips; the parsed tree is
+    operator-identical (double literals via the D suffix, same
+    parenthesization), so results and codegen are unchanged."""
+    ring = pip._ring(poly)
+    rect = _axis_rect(ring)
+    if rect is not None:
+        x0, y0, x1, y1 = rect
+        return (f"(({_d(y0)} <= {y}) AND ({y} < {_d(y1)}) "
+                f"AND ({_d(x0)} <= {x}) AND ({x} < {_d(x1)}))")
+    count = "0"
+    for i in range(len(ring) - 1):
+        x1, y1 = float(ring[i, 0]), float(ring[i, 1])
+        x2, y2 = float(ring[i + 1, 0]), float(ring[i + 1, 1])
+        if y1 == y2:
+            continue
+        crosses = f"(({_d(y1)} <= {y}) != ({_d(y2)} <= {y}))"
+        xint = (f"({_d(x1)} + ({y} - {_d(y1)}) * {_d(x2 - x1)}"
+                f" / {_d(y2 - y1)})")
+        count = (f"({count} + (CASE WHEN ({crosses} AND ({x} < {xint})) "
+                 f"THEN 1 ELSE 0 END))")
+    return f"(({count} % 2) = 1)"
+
+
 def pip_literal_expr(x: Column, y: Column,
                      poly: list[tuple[float, float]]) -> Column:
     """Even-odd ray cast with the polygon baked in as literals — pure
@@ -424,6 +460,32 @@ def slot_pip_expr(x: Column, y: Column, rid: Column) -> Column:
     if expr is None:
         return F.lit(False)
     return expr
+
+
+def slot_pip_sql(x: str, y: str, rid: str) -> str:
+    """String twin of :func:`slot_pip_expr` (see pip_literal_sql)."""
+    if not catalog.REGIONS:
+        return "false"
+    whens = " ".join(
+        f"WHEN {rid} = '{r.region_id}' "
+        f"THEN {pip_literal_sql(x, y, list(r.polygon))}"
+        for r in catalog.REGIONS
+    )
+    return f"(CASE {whens} END)"
+
+
+def bilinear_sql(x: str, y: str, lon0: str, lat0: str, dlon: str, dlat: str,
+                 v00: str, v01: str, v10: str, v11: str) -> str:
+    """String twin of :func:`bilinear_expr` — same float64 ops, same
+    parenthesization (left-assoc sum of the four corner terms)."""
+    tx_ = f"(({x} - {lon0}) / {dlon} - FLOOR(({x} - {lon0}) / {dlon}))"
+    ty_ = f"(({y} - {lat0}) / {dlat} - FLOOR(({y} - {lat0}) / {dlat}))"
+    return (
+        f"((1.0D - {tx_}) * (1.0D - {ty_}) * {v00}"
+        f" + {tx_} * (1.0D - {ty_}) * {v01}"
+        f" + (1.0D - {tx_}) * {ty_} * {v10}"
+        f" + {tx_} * {ty_} * {v11})"
+    )
 
 
 def bilinear_expr(
@@ -679,26 +741,33 @@ def transform_points_sql(
     # interior rows (≈ all rows at scale) never touch it — and (b)
     # avoids re-inlining the bilinear tree 3× through the
     # isNotNull/isnan/value references (the round-1 inlining trap).
+    # Staged expressions are built as SQL STRINGS and parsed with ONE
+    # F.expr each (r6): the Column-DSL builders paid one py4j
+    # round-trip per operator — ~11k round-trips ≈ 1.8 s of the 2.1 s
+    # kNN-edge plan build (cProfile).  The parsed trees are
+    # operator-identical (D-suffixed double literals, same
+    # parenthesization), so results and codegen are unchanged.
     knn_pairs = [
         (k, j) for k in range(depth) for j in range(j_max)
         if knn_fallback and n_cand and j in knn_js
     ]
+    xs, ys = x_col, y_col
     if knn_pairs:
-        out = out.select("*", *[
-            bilinear_expr(
-                x, y,
-                F.col(f"lon0_s{k}_{j}"), F.col(f"lat0_s{k}_{j}"),
-                F.col(f"dlon_s{k}_{j}"), F.col(f"dlat_s{k}_{j}"),
-                F.col(f"v00_s{k}_{j}"), F.col(f"v01_s{k}_{j}"),
-                F.col(f"v10_s{k}_{j}"), F.col(f"v11_s{k}_{j}"),
-            ).alias(f"bil_s{k}_{j}")
+        out = out.selectExpr("*", *[
+            bilinear_sql(
+                xs, ys,
+                f"lon0_s{k}_{j}", f"lat0_s{k}_{j}",
+                f"dlon_s{k}_{j}", f"dlat_s{k}_{j}",
+                f"v00_s{k}_{j}", f"v01_s{k}_{j}",
+                f"v10_s{k}_{j}", f"v11_s{k}_{j}",
+            ) + f" AS bil_s{k}_{j}"
             for k, j in knn_pairs
         ])
 
     staged = []
     for k in range(depth):
         sfx = f"_s{k}"
-        total = F.lit(0.0)
+        total = "0.0D"
         for j in range(j_max):
             if (k, j) in knn_pairs:
                 # J8: where bilinear is invalid (NaN corner or outside
@@ -707,9 +776,9 @@ def transform_points_sql(
                 # (argmin d², ties to the lowest row-major node index,
                 # gate sqrt(d²min) ≤ max(dlon, dlat))
                 # HOF argmin over the variable-length candidate array,
-                # NOT an unrolled C-way F.least over F.get slots: with
-                # C=64 the unrolled form blew the generated-code limit
-                # and DISABLED whole-stage codegen for the entire final
+                # NOT an unrolled C-way least() over slots: with C=64
+                # the unrolled form blew the generated-code limit and
+                # DISABLED whole-stage codegen for the entire final
                 # projection ("Whole-stage codegen disabled for plan",
                 # measured 11 s vs the kernel twin's 1.8 s at sf0.1).
                 # HigherOrderFunction is CodegenFallback — one opaque
@@ -718,45 +787,47 @@ def transform_points_sql(
                 # the projection stays codegen. Struct ordering
                 # (d2, i, v) keeps the tie-break: min d², then lowest
                 # row-major node index — exactly _knn_fill.
-                arr = F.col(f"kc{sfx}_{j}")
-                best = F.array_min(F.transform(arr, lambda s: F.struct(
-                    ((x - s["lon"]) * (x - s["lon"])
-                     + (y - s["lat"]) * (y - s["lat"])).alias("d2"),
-                    s["i"].alias("i"),
-                    s["v"].alias("v"),
-                )))
-                m = F.greatest(F.col(f"dlon{sfx}_{j}"), F.col(f"dlat{sfx}_{j}"))
-                fill = F.when(F.sqrt(best["d2"]) <= m, best["v"])
-                b = F.col(f"bil{sfx}_{j}")
-                bil = F.when(b.isNotNull() & ~F.isnan(b), b).otherwise(fill)
+                best = (
+                    f"array_min(transform(kc{sfx}_{j}, s -> named_struct("
+                    f"'d2', (({xs} - s.lon) * ({xs} - s.lon)"
+                    f" + ({ys} - s.lat) * ({ys} - s.lat)), "
+                    f"'i', s.i, 'v', s.v)))"
+                )
+                fill = (
+                    f"(CASE WHEN SQRT({best}.d2) <= "
+                    f"greatest(dlon{sfx}_{j}, dlat{sfx}_{j}) "
+                    f"THEN {best}.v END)"
+                )
+                b = f"bil{sfx}_{j}"
+                bil = (f"(CASE WHEN (({b} IS NOT NULL) AND (NOT isnan({b}))) "
+                       f"THEN {b} ELSE {fill} END)")
             else:
-                bil = bilinear_expr(
-                    x, y,
-                    F.col(f"lon0{sfx}_{j}"), F.col(f"lat0{sfx}_{j}"),
-                    F.col(f"dlon{sfx}_{j}"), F.col(f"dlat{sfx}_{j}"),
-                    F.col(f"v00{sfx}_{j}"), F.col(f"v01{sfx}_{j}"),
-                    F.col(f"v10{sfx}_{j}"), F.col(f"v11{sfx}_{j}"),
+                bil = bilinear_sql(
+                    xs, ys,
+                    f"lon0{sfx}_{j}", f"lat0{sfx}_{j}",
+                    f"dlon{sfx}_{j}", f"dlat{sfx}_{j}",
+                    f"v00{sfx}_{j}", f"v01{sfx}_{j}",
+                    f"v10{sfx}_{j}", f"v11{sfx}_{j}",
                 )
             # lattice group exists for this region? add its combined
             # surface (null on corner-join miss = outside grid ⇒
             # region invalid, the PROJ-inf semantics); group index
             # beyond the region's pipeline ⇒ identity 0.0
-            total = total + F.when(
-                F.lit(j) < F.col(f"ngr{sfx}"), bil
-            ).otherwise(F.lit(0.0))
-        staged.append(slot_pip_expr(x, y, F.col(f"rid{sfx}")).alias(f"pip{sfx}"))
-        staged.append(total.alias(f"tot{sfx}"))
-    out = out.select("*", *staged)
+            total = (f"({total} + (CASE WHEN {j} < ngr{sfx} "
+                     f"THEN {bil} ELSE 0.0D END))")
+        staged.append(f"{slot_pip_sql(xs, ys, f'rid{sfx}')} AS pip{sfx}")
+        staged.append(f"{total} AS tot{sfx}")
+    out = out.selectExpr("*", *staged)
 
     # ----- validity flags over cheap staged columns ------------------
     valids = []
     for k in range(depth):
         sfx = f"_s{k}"
-        t = F.col(f"tot{sfx}")
         valids.append(
-            (F.col(f"pip{sfx}") & t.isNotNull() & ~F.isnan(t)).alias(f"ok{sfx}")
+            f"((pip{sfx} AND (tot{sfx} IS NOT NULL)) "
+            f"AND (NOT isnan(tot{sfx}))) AS ok{sfx}"
         )
-    out = out.select("*", *valids)
+    out = out.selectExpr("*", *valids)
 
     keep = points.columns + ["cell5"]
 

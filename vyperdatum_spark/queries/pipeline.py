@@ -102,8 +102,14 @@ def q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     # boundary is the engine's checkpoint layer (run_with_checkpoint)
     # or a persist(DISK_ONLY); blocks release via ContextCleaner.
     parsed = geoparse.geoparse(corpus)
+    # checkpoint only the columns the rest of the pipeline reads (r6,
+    # guide §2.3 "project before you materialize"): x/y/z, warc_ts,
+    # region_ord, sep, covered never leave the transform stage, so the
+    # checkpointed blocks shrink by ~7 columns
     out = tx.transform_points(
         spark, parsed, "ellipse", "mllw", key_col="url",
+    ).select(
+        "url", "lang", "cell5", "region_id", "z_out", "unc", "text"
     ).localCheckpoint()
 
     # exact dedup: min-url keeper per content hash (dedup_exact's
