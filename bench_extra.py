@@ -53,6 +53,63 @@ def main() -> None:
                     "exec": round(t3 - t2, 3),
                     "total": round(t3 - t0, 3),
                 }))
+    elif mode == "scale10":
+        # order-of-magnitude step (VERDICT r5 #7): replicate the sf0.1
+        # documents/events/embeddings 10x with id offsets into a
+        # scratch dir, then time the given queries there vs sf0.1.
+        # A scaling PROBE for superlinear surprises, not a correctness
+        # gate (the replica changes content distributions: dup groups
+        # and LSH buckets grow 10x denser than a true sf1 would).
+        import shutil
+        from pyspark.sql import functions as F
+        x_dir = "/tmp/vyspark_scale10"
+        if not os.path.exists(f"{x_dir}/_DONE"):
+            shutil.rmtree(x_dir, ignore_errors=True)
+            os.makedirs(x_dir, exist_ok=True)
+            reps = list(range(10))
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            uni = None
+            for r in reps:
+                d = docs.withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(r * 10_000_000))
+                uni = d if uni is None else uni.unionByName(d)
+            uni.repartition(32).write.mode("overwrite").parquet(
+                f"{x_dir}/documents.parquet")
+            ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+            uni = None
+            for r in reps:
+                d = ev.withColumn(
+                    "event_id", F.col("event_id") + F.lit(r * 100_000_000))
+                uni = d if uni is None else uni.unionByName(d)
+            uni.repartition(32).write.mode("overwrite").parquet(
+                f"{x_dir}/events.parquet")
+            em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            uni = None
+            for r in reps:
+                d = em.withColumn(
+                    "vec_id", F.col("vec_id") + F.lit(r * 10_000_000))
+                uni = d if uni is None else uni.unionByName(d)
+            uni.repartition(32).write.mode("overwrite").parquet(
+                f"{x_dir}/embeddings.parquet")
+            open(f"{x_dir}/_DONE", "w").write("ok")
+        out = {}
+        for name in names:
+            t_small = None
+            t_big = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _materialize(qs[name](spark, sf_dir))
+                s = time.perf_counter() - t0
+                t_small = s if t_small is None else min(t_small, s)
+                t0 = time.perf_counter()
+                _materialize(qs[name](spark, x_dir))
+                b = time.perf_counter() - t0
+                t_big = b if t_big is None else min(t_big, b)
+            out[name] = {"sf0.1_sec": round(t_small, 3),
+                         "x10_sec": round(t_big, 3),
+                         "ratio": round(t_big / t_small, 2)}
+            print(json.dumps({name: out[name]}))
+        print(json.dumps({"scale10": out}))
     elif mode == "time":
         timings = {}
         for _ in range(2):

@@ -127,16 +127,32 @@ def bm25_topk(df: DataFrame, queries: list[tuple[int, list[str]]] | None = None,
     the ordering is engine-portable."""
     queries = queries if queries is not None else SEARCH_QUERIES
     all_terms = sorted({t for _, ts in queries for t in ts})
-    n, avgdl, dfs = corpus_stats(df, all_terms, text_col=text_col)
-    idf = {t: _idf(n, dfs[t]) for t in all_terms}
-
     toks = _toks(F.col(text_col))
     dl = F.size(toks)
+    # stage the narrow (id, dl, tf…) base ONCE (r6, guide §8 "decide
+    # with small rows"): the stats pass and the scoring pass both need
+    # only these few ints per doc, so tokenizing the corpus twice —
+    # once inside corpus_stats, once for scoring — paid double the
+    # dominant cost.  The checkpointed base is O(|terms|) ints/doc;
+    # stats become integer sums over it, bit-identical to the
+    # corpus_stats formulation (same counts → same idf doubles).
     base = df.select(
         F.col(id_col),
         dl.alias("dl"),
         *[_tf_col(toks, t).alias(f"tf_{t}") for t in all_terms],
-    )
+    ).localCheckpoint()
+    row = base.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("total"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{i}")
+            for i, t in enumerate(all_terms)
+        ],
+    ).collect()[0]
+    n = int(row["n"])
+    avgdl = float(row["total"]) / n
+    dfs = {t: int(row[f"df_{i}"]) for i, t in enumerate(all_terms)}
+    idf = {t: _idf(n, dfs[t]) for t in all_terms}
     per_q = []
     for qid, terms in queries:
         terms = sorted(terms)
