@@ -87,12 +87,16 @@ def test_rarer_term_scores_higher_idf(spark):
 
 
 def test_single_scan_plan(spark, docs):
-    """All queries are scored in ONE pass: exactly one parquet scan in
-    the physical plan (candidate generation is scan-side column math,
-    not a per-query union of scans)."""
+    """All queries are scored in ONE pass over the staged tf base:
+    since the r6 staging, the corpus parquet is tokenized exactly once
+    into the checkpointed (id, dl, tf…) base, and the scoring plan
+    reads THAT — so the final plan holds one checkpoint scan and zero
+    parquet scans (candidate generation is scan-side column math, not
+    a per-query union of scans)."""
     out = S.bm25_topk(docs)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Scan parquet") == 1
+    assert plan.count("Scan parquet") == 0
+    assert plan.count("Scan ExistingRDD") == 1
 
 
 def test_doc_hash_embed_matches_oracle_and_is_unit(spark, docs):
