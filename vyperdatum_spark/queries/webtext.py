@@ -9,9 +9,13 @@ from pyspark.sql import functions as F
 from ..ops import clustering, dedup, dsir, search, similarity, textstats
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs(spark: SparkSession, sf_dir: str,
+          parallel: bool = True) -> DataFrame:
     from ..engine.inputs import read_input
 
+    if not parallel:
+        # aggregation-bound consumers: the fan-out only adds a stage
+        return spark.read.parquet(f"{sf_dir}/documents.parquet")
     return read_input(spark, f"{sf_dir}/documents.parquet")
 
 
@@ -183,7 +187,7 @@ def _url_col() -> F.Column:
 
 
 def _doc_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _docs(spark, sf_dir).select(
+    return _docs(spark, sf_dir, parallel=False).select(
         F.col("doc_id"), _url_col().alias("url")
     )
 
@@ -235,7 +239,7 @@ def _doc_urls_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic (doc_id, warc_ts, url) captures: canonical URLs
     collide across ~source×50 path groups so latest-capture has real
     work."""
-    return _docs(spark, sf_dir).select(
+    return _docs(spark, sf_dir, parallel=False).select(
         "doc_id", _warc_ts_col().alias("warc_ts"), _url_col().alias("url")
     )
 
@@ -339,7 +343,7 @@ def _ml_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.when(d % 5 == 0,
                    F.concat(F.lit("promo code "), (d % 997).cast("string")))
     bp2 = F.when(d % 3 == 0, F.lit("all rights reserved"))
-    return _docs(spark, sf_dir).select(
+    return _docs(spark, sf_dir, parallel=False).select(
         d.alias("doc_id"),
         F.concat_ws("\n", F.col("text"), bp1, promo, bp2).alias("text"),
     )
