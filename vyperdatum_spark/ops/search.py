@@ -289,10 +289,15 @@ def doc_hash_embed(df: DataFrame, id_col: str = "doc_id",
     nrm = F.lit(0.0)
     for i in range(EMBED_DIM):
         nrm = nrm + F.col(f"_c{i}") * F.col(f"_c{i}")
-    nrm = F.sqrt(nrm)
-    return agg.select(
+    # stage the norm as a REAL column (r6): referenced once per array
+    # element, the inlined 64-term sum tree blows the projection up to
+    # 64×64 terms — the repo's recurring O(n²) inlining trap (measured
+    # ~5 s of the 6.7 s isolated widening stage at sf0.1)
+    staged = agg.select("*", F.sqrt(nrm).alias("_nrm"))
+    return staged.select(
         F.col(id_col),
-        F.array(*[F.col(f"_c{i}") / nrm for i in range(EMBED_DIM)])
+        F.array(*[F.col(f"_c{i}") / F.col("_nrm")
+                  for i in range(EMBED_DIM)])
         .alias("embedding"),
     )
 
