@@ -140,9 +140,9 @@ def minhash_sig_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col), (hash60(F.col("_s")) % MERSENNE_P).alias("_h")
     )
     mins = [
-        F.coalesce(
-            F.min((F.lit(a) * F.col("_h") + F.lit(b)) % MERSENNE_P),
-            F.lit(MERSENNE_P).cast("long"),
+        F.expr(
+            f"coalesce(min((({a} * _h) + {b}) % {MERSENNE_P}), "
+            f"CAST({MERSENNE_P} AS BIGINT))"
         ).alias(f"_m{i}")
         for i, (a, b) in enumerate(PERMS)
     ]
@@ -263,20 +263,21 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str,
         F.explode_outer(tokens_col(F.col(text_col))).alias("_t"),
     )
     hs = toks.select(F.col(id_col), hash60(F.col("_t")).alias("_h"))
+    # wide lists as SQL strings + one F.expr each (r6): the 60-column
+    # Column-DSL builders paid ~1 s of py4j round-trips per build
+    # (same trap as dsir/doc_hash_embed); parsed trees identical
     bit_sums = [
-        F.sum(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1))).alias(f"_b{i}")
+        F.expr(f"sum((shiftright(_h, {i}) & 1))").alias(f"_b{i}")
         for i in range(bits)
     ]
     agg = hs.groupBy(id_col).agg(F.count(F.col("_h")).alias("_n"), *bit_sums)
-    v = F.lit(0).cast("long")
+    v = "CAST(0 AS BIGINT)"
     for i in range(bits):
-        v = v + F.when(
-            F.col(f"_b{i}") * 2 > F.col("_n"), F.lit(1 << i).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return agg.select(
-        F.col(id_col),
-        F.when(F.col("_n") > 0, v).otherwise(F.lit(0).cast("long"))
-        .alias("simhash"),
+        v = (f"({v} + (CASE WHEN (_b{i} * 2) > _n THEN "
+             f"CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END))")
+    return agg.selectExpr(
+        id_col,
+        f"(CASE WHEN _n > 0 THEN {v} ELSE CAST(0 AS BIGINT) END) AS simhash",
     )
 
 

@@ -168,22 +168,23 @@ def dsir_weights(df: DataFrame, id_col: str = "doc_id",
         F.count(F.lit(1)).cast("double").alias("_c"),
         F.max("is_t").alias("_t"),
     )
+    # wide aggregate lists built as SQL strings + one F.expr each (r6):
+    # the Column-DSL form paid ~2.3 s of py4j round-trips per build
+    # (cProfile — same trap as the transform staged expressions);
+    # parsed trees identical (0.0D double literals, same CASE shape)
     agg = cnt.groupBy(id_col).agg(
         F.max("_t").alias("_is_t"),
         *[
-            F.sum(
-                F.when(F.col("b") == i, F.col("_c")).otherwise(F.lit(0.0))
-            ).alias(f"_n{i}")
+            F.expr(f"sum(CASE WHEN b = {i} THEN _c ELSE 0.0D END)")
+            .alias(f"_n{i}")
             for i in range(N_BUCKETS)
         ],
     ).localCheckpoint()
     tot = agg.agg(
-        *[F.sum(F.col(f"_n{i}")).alias(f"r{i}") for i in range(N_BUCKETS)],
+        *[F.expr(f"sum(_n{i})").alias(f"r{i}") for i in range(N_BUCKETS)],
         *[
-            F.sum(
-                F.when(F.col("_is_t") == 1, F.col(f"_n{i}"))
-                .otherwise(F.lit(0.0))
-            ).alias(f"t{i}")
+            F.expr(f"sum(CASE WHEN _is_t = 1 THEN _n{i} ELSE 0.0D END)")
+            .alias(f"t{i}")
             for i in range(N_BUCKETS)
         ],
     ).collect()[0]
@@ -197,16 +198,17 @@ def dsir_weights(df: DataFrame, id_col: str = "doc_id",
         )
         for b in range(N_BUCKETS)
     ]
-    s = F.lit(0.0)
-    n = F.lit(0.0)
+    # same left-assoc folds as before, rendered once as SQL text
+    s = "0.0D"
+    n = "0.0D"
     for i in range(N_BUCKETS):
-        s = s + F.col(f"_n{i}") * F.lit(lam[i])
-        n = n + F.col(f"_n{i}")
-    return agg.select(
-        F.col(id_col),
-        n.cast("long").alias("n_grams"),
-        F.round(s, 6).alias("weight"),
-        F.round(s / n, 6).alias("avg_weight"),
+        s = f"({s} + (_n{i} * {lam[i]!r}D))"
+        n = f"({n} + _n{i})"
+    return agg.selectExpr(
+        id_col,
+        f"CAST({n} AS BIGINT) AS n_grams",
+        f"round({s}, 6) AS weight",
+        f"round({s} / {n}, 6) AS avg_weight",
     )
 
 

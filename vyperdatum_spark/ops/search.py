@@ -281,24 +281,27 @@ def doc_hash_embed(df: DataFrame, id_col: str = "doc_id",
     # values (exact integer counts)
     cnt = bk.groupBy(id_col, "_b").agg(
         F.count(F.lit(1)).cast("double").alias("_n"))
+    # wide lists as SQL strings + one F.expr each (r6): the Column-DSL
+    # builders paid ~1 s of py4j round-trips per build (same trap as
+    # dsir/transform); parsed trees identical
     agg = cnt.groupBy(id_col).agg(*[
-        F.sum(F.when(F.col("_b") == i, F.col("_n")).otherwise(F.lit(0.0)))
+        F.expr(f"sum(CASE WHEN _b = {i} THEN _n ELSE 0.0D END)")
         .alias(f"_c{i}")
         for i in range(EMBED_DIM)
     ])
-    nrm = F.lit(0.0)
+    nrm = "0.0D"
     for i in range(EMBED_DIM):
-        nrm = nrm + F.col(f"_c{i}") * F.col(f"_c{i}")
+        nrm = f"({nrm} + (_c{i} * _c{i}))"
     # stage the norm as a REAL column (r6): referenced once per array
     # element, the inlined 64-term sum tree blows the projection up to
     # 64×64 terms — the repo's recurring O(n²) inlining trap (measured
     # ~5 s of the 6.7 s isolated widening stage at sf0.1)
-    staged = agg.select("*", F.sqrt(nrm).alias("_nrm"))
-    return staged.select(
-        F.col(id_col),
-        F.array(*[F.col(f"_c{i}") / F.col("_nrm")
-                  for i in range(EMBED_DIM)])
-        .alias("embedding"),
+    staged = agg.selectExpr("*", f"SQRT({nrm}) AS _nrm")
+    return staged.selectExpr(
+        id_col,
+        "array(" + ", ".join(
+            f"_c{i} / _nrm" for i in range(EMBED_DIM)
+        ) + ") AS embedding",
     )
 
 
