@@ -133,16 +133,14 @@ def kmeans_train(df: DataFrame, k: int = K_CLUSTERS, iters: int = N_ITERS,
                 # single division + round(6) is deterministic.
                 # floor(x+0.5), not round(x, 0): same grid point
                 # (half-toward-+inf), but Math.floor instead of a
-                # per-value BigDecimal — ~7× faster over 48M×16
-                F.round(
-                    F.sum(
-                        F.floor(
-                            F.element_at(F.col("e"), i).cast("double")
-                            * F.lit(1000000.0) + F.lit(0.5)
-                        )
-                    ).cast("double")
-                    / (F.lit(1000000.0) * F.count(F.lit(1))),
-                    6,
+                # per-value BigDecimal — ~7× faster over 48M×16.
+                # Rendered as ONE F.expr per component (r6): the
+                # Column-DSL form paid a py4j round-trip per operator
+                # across dim×~12 ops per iteration; tree identical.
+                F.expr(
+                    "round(CAST(sum(floor((CAST(element_at(e, "
+                    f"{i}) AS DOUBLE) * 1000000.0D) + 0.5D)) AS DOUBLE)"
+                    " / (1000000.0D * count(1)), 6)"
                 ).alias(f"m{i}")
                 for i in range(1, dim + 1)
             ])
