@@ -66,31 +66,16 @@ def main() -> None:
         if not os.path.exists(f"{x_dir}/_DONE"):
             shutil.rmtree(x_dir, ignore_errors=True)
             os.makedirs(x_dir, exist_ok=True)
-            reps = list(range(10))
-            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-            uni = None
-            for r in reps:
-                d = docs.withColumn(
-                    "doc_id", F.col("doc_id") + F.lit(r * 10_000_000))
-                uni = d if uni is None else uni.unionByName(d)
-            uni.repartition(32).write.mode("overwrite").parquet(
-                f"{x_dir}/documents.parquet")
-            ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-            uni = None
-            for r in reps:
-                d = ev.withColumn(
-                    "event_id", F.col("event_id") + F.lit(r * 100_000_000))
-                uni = d if uni is None else uni.unionByName(d)
-            uni.repartition(32).write.mode("overwrite").parquet(
-                f"{x_dir}/events.parquet")
-            em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-            uni = None
-            for r in reps:
-                d = em.withColumn(
-                    "vec_id", F.col("vec_id") + F.lit(r * 10_000_000))
-                uni = d if uni is None else uni.unionByName(d)
-            uni.repartition(32).write.mode("overwrite").parquet(
-                f"{x_dir}/embeddings.parquet")
+            for table, id_c, off in (("documents", "doc_id", 10_000_000),
+                                     ("events", "event_id", 100_000_000),
+                                     ("embeddings", "vec_id", 10_000_000)):
+                src = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+                uni = None
+                for r in range(10):
+                    d = src.withColumn(id_c, F.col(id_c) + F.lit(r * off))
+                    uni = d if uni is None else uni.unionByName(d)
+                uni.repartition(32).write.mode("overwrite").parquet(
+                    f"{x_dir}/{table}.parquet")
             open(f"{x_dir}/_DONE", "w").write("ok")
         out = {}
         for name in names:

@@ -751,7 +751,9 @@ def transform_points_sql(
         (k, j) for k in range(depth) for j in range(j_max)
         if knn_fallback and n_cand and j in knn_js
     ]
-    xs, ys = x_col, y_col
+    # backticks: caller-supplied column names must survive the SQL
+    # parser (`lon-deg` would otherwise parse as a subtraction)
+    xs, ys = f"`{x_col}`", f"`{y_col}`"
     if knn_pairs:
         out = out.selectExpr("*", *[
             bilinear_sql(
@@ -787,11 +789,12 @@ def transform_points_sql(
                 # the projection stays codegen. Struct ordering
                 # (d2, i, v) keeps the tie-break: min d², then lowest
                 # row-major node index — exactly _knn_fill.
+                # lambda var named to avoid shadowing any real column
                 best = (
-                    f"array_min(transform(kc{sfx}_{j}, s -> named_struct("
-                    f"'d2', (({xs} - s.lon) * ({xs} - s.lon)"
-                    f" + ({ys} - s.lat) * ({ys} - s.lat)), "
-                    f"'i', s.i, 'v', s.v)))"
+                    f"array_min(transform(kc{sfx}_{j}, _kc_ -> named_struct("
+                    f"'d2', (({xs} - _kc_.lon) * ({xs} - _kc_.lon)"
+                    f" + ({ys} - _kc_.lat) * ({ys} - _kc_.lat)), "
+                    f"'i', _kc_.i, 'v', _kc_.v)))"
                 )
                 fill = (
                     f"(CASE WHEN SQRT({best}.d2) <= "

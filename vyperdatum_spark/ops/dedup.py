@@ -276,7 +276,7 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str,
         v = (f"({v} + (CASE WHEN (_b{i} * 2) > _n THEN "
              f"CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END))")
     return agg.selectExpr(
-        id_col,
+        f"`{id_col}`",
         f"(CASE WHEN _n > 0 THEN {v} ELSE CAST(0 AS BIGINT) END) AS simhash",
     )
 

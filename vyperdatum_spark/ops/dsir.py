@@ -205,7 +205,7 @@ def dsir_weights(df: DataFrame, id_col: str = "doc_id",
         s = f"({s} + (_n{i} * {lam[i]!r}D))"
         n = f"({n} + _n{i})"
     return agg.selectExpr(
-        id_col,
+        f"`{id_col}`",
         f"CAST({n} AS BIGINT) AS n_grams",
         f"round({s}, 6) AS weight",
         f"round({s} / {n}, 6) AS avg_weight",

@@ -93,26 +93,6 @@ def _contrib(tf: Column, dl: Column, idf: float, avgdl: float) -> Column:
     return (F.lit(idf) * (tfd * F.lit(K1 + 1.0))) / denom
 
 
-def corpus_stats(df: DataFrame, terms: list[str],
-                 text_col: str = "text") -> tuple[int, float, dict[str, int]]:
-    """One aggregation: N, avgdl, df(term) for every query term.
-    All integer sums (exact in double); avgdl = total_tokens / N is a
-    single IEEE division, identical to the oracle's."""
-    toks = _toks(F.col(text_col))
-    row = df.select(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.size(toks)).alias("total"),
-        *[
-            F.sum((_tf_col(toks, t) > 0).cast("long")).alias(f"df_{i}")
-            for i, t in enumerate(terms)
-        ],
-    ).collect()[0]
-    n = int(row["n"])
-    avgdl = float(row["total"]) / n
-    dfs = {t: int(row[f"df_{i}"]) for i, t in enumerate(terms)}
-    return n, avgdl, dfs
-
-
 def _idf(n: int, df_t: int) -> float:
     import math
 
@@ -298,7 +278,7 @@ def doc_hash_embed(df: DataFrame, id_col: str = "doc_id",
     # ~5 s of the 6.7 s isolated widening stage at sf0.1)
     staged = agg.selectExpr("*", f"SQRT({nrm}) AS _nrm")
     return staged.selectExpr(
-        id_col,
+        f"`{id_col}`",
         "array(" + ", ".join(
             f"_c{i} / _nrm" for i in range(EMBED_DIM)
         ) + ") AS embedding",

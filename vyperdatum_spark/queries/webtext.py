@@ -34,8 +34,7 @@ def _docs_with_dups(spark: SparkSession, sf_dir: str,
                     parallel: bool = True) -> DataFrame:
     """documents plus a deterministic duplicated subset (doc_id % 7)
     so exact-dedup has real groups to find at every scale factor."""
-    d = _docs(spark, sf_dir) if parallel else spark.read.parquet(
-        f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir, parallel=parallel)
     dups = d.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         "text", "lang", "source", "n_chars",

@@ -66,9 +66,13 @@ def get_spark(
         # scaling children measured 3-10× wall variance from it), so
         # default to tmpfs here; on a real cluster point
         # $SPARK_GRAFT_LOCAL_DIR at the fast local SSD array instead.
-        .config("spark.local.dir",
-                os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
     )
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm") and os.access(
+            "/dev/shm", os.W_OK):
+        local_dir = "/dev/shm/spark-local"
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     # ad-hoc conf overrides for experiments: "k=v;k=v"
     for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
         if "=" in kv:
